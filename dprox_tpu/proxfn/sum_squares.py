@@ -1,0 +1,238 @@
+"""Quadratic proxfns and the least-squares x-update engine.
+
+Counterpart of /root/reference/dprox/proxfn/sum_square.py. The
+``least_squares`` solve is THE hot path of every proximal algorithm:
+
+* (freq-)diagonalizable stacked operator -> closed-form division, with the
+  frequency case executed as batched 2-D FFTs + complex pointwise divide
+  (XLA fuses the divide into the FFT epilogue on TPU);
+* otherwise -> matrix-free CG through :func:`dprox_tpu.linalg.linear_solve`
+  with implicit (custom-VJP) gradients.
+
+All entry points are pure; ``rho``/``v`` are traced, placeholder data comes
+through ``params``, and offsets are evaluated from the expression tree.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ..linalg import LinearSolveConfig, linear_solve
+from ..linop.base import LinOp, Params, Variable
+from ..utils.misc import expand_to_bchw
+from .base import Array, ProxFn
+
+
+def _fftn2(x):
+    return jnp.fft.fftn(x, axes=(-2, -1))
+
+
+def _ifftn2(x):
+    return jnp.fft.ifftn(x, axes=(-2, -1))
+
+
+class sum_squares(ProxFn):
+    """||K x - b||^2 (reference: sum_square.py:12-32)."""
+
+    def __init__(self, linop: LinOp, b=None, eps: float = 1e-7):
+        super().__init__(linop)
+        self.eps = eps
+        self._b = b
+
+    def offset(self, var_shapes, params=None):
+        if self._b is not None:
+            return self.unwrap_b(params)
+        return super().offset(var_shapes, params)
+
+    def unwrap_b(self, params: Optional[Params]):
+        from ..linop.base import Placeholder
+        from ..utils.misc import to_jax_array
+
+        if isinstance(self._b, Placeholder):
+            return self._b.value(params)
+        return to_jax_array(self._b, batch=True)
+
+    def _prox(self, v, lam, params=None, step=None):
+        return v / (1.0 + 2.0 * lam)
+
+    def grad(self, x: Array, params: Optional[Params] = None) -> Array:
+        """K^T (K x - b) — enables the omega role in PGD."""
+        var = self.linop.variables[0]
+        off = self.offset({var.name: x.shape}, params)
+        tmp = self.dag_forward(x, params) - off
+        return self.dag_adjoint(tmp, params)
+
+
+class ext_sum_squares(sum_squares):
+    """Base for fused fast data-term proxes (csmri/sisr/spi/...).
+
+    Subclasses implement ``_solve(xtilde, rho, n, params)`` absorbing the
+    whole x-update (reference: sum_square.py:35-48 + proxfn/fast/*).
+    """
+
+    def __init__(self, linop: LinOp, eps: float = 1e-7):
+        super().__init__(linop, eps=eps)
+        self._setup_bs = []
+
+    def setup(self, bs: Sequence[Array]):
+        self._setup_bs = list(bs)
+        return self
+
+    def solve(self, vs: Sequence[Array], rho, params: Optional[Params] = None,
+              var_shapes=None) -> Array:
+        xtilde = 0.0
+        for v in vs:
+            xtilde = xtilde + v
+        return self._solve(xtilde, expand_to_bchw(jnp.asarray(rho)), len(vs), params)
+
+    def _solve(self, xtilde, rho, n, params):
+        raise NotImplementedError
+
+
+class weighted_sum_squares(sum_squares):
+    """||A x - b||^2 with (freq-)diagonal A; closed-form prox.
+
+    Produced by the absorb pass for mosaic data terms
+    (reference: sum_square.py:51-83, algo/opt/absorb.py:31-34).
+    """
+
+    def __init__(self, linop: LinOp, weight: LinOp, b, eps: float = 0.0):
+        super().__init__(linop, b, eps)
+        self.weight = weight
+        if weight.is_diag(freq=False):
+            self.freq = False
+        elif weight.is_diag(freq=True):
+            self.freq = True
+        else:
+            raise ValueError("weight must be (freq-)diagonalizable")
+
+    def Ktb(self, params: Optional[Params]):
+        b = self.unwrap_b(params)
+        from ..linop.evaluate import adjoint as linop_adjoint
+
+        return linop_adjoint(self.weight, b, params)
+
+    def prox(self, v, lam, params=None, step=None, offset=None):
+        lam = expand_to_bchw(jnp.asarray(lam, v.dtype))
+        Ktb = self.Ktb(params)
+        if not self.freq:
+            diag = self.weight.gram_diag(v.shape, params, freq=False)
+            return (Ktb + lam * v) / (diag + lam)
+        diag = self.weight.gram_diag(v.shape, params, freq=True)
+        num = _fftn2(Ktb + lam * v)
+        return jnp.real(_ifftn2((num + self.eps) / (diag + lam + self.eps))).astype(v.dtype)
+
+
+class least_squares(ProxFn):
+    """Stacked-quadratic x-update with direct-FFT vs CG dispatch.
+
+    quad_fns: the omega (data) terms whose offsets supply K^T b;
+    other_fns: the psi terms contributing rho-weighted consensus blocks.
+    (reference: sum_square.py:86-201.)
+    """
+
+    def __init__(self, quad_fns: List[ProxFn], other_fns: List[ProxFn],
+                 try_diagonalize: bool = True, try_freq_diagonalize: bool = True,
+                 fallback_solver: str = "cg",
+                 linear_solve_config: Optional[LinearSolveConfig] = None):
+        self.quad_fns = list(quad_fns)
+        self.other_fns = list(other_fns)
+        self.linear_solve_config = linear_solve_config or LinearSolveConfig(
+            solver_type=fallback_solver if fallback_solver in ("cg", "cg2", "pcg", "minres", "plss") else "cg")
+
+        linops = [fn.linop for fn in self.quad_fns + self.other_fns]
+        from ..linop.base import vstack
+
+        stacked = vstack(linops)
+        self.diagonalizable = stacked.is_gram_diag(freq=False) and try_diagonalize
+        self.freq_diagonalizable = (stacked.is_gram_diag(freq=True) and try_diagonalize
+                                    and try_freq_diagonalize)
+        super().__init__(stacked)
+
+    def _prox(self, v, lam, params=None, step=None):
+        return self.solve([], lam, v=v, params=params)
+
+    # -- helpers -------------------------------------------------------- #
+
+    def _var_shapes(self, ref: Array, var_shapes=None):
+        if var_shapes is not None:
+            return var_shapes
+        names = set()
+        for fn in self.quad_fns + self.other_fns:
+            for v in fn.linop.variables:
+                names.add(v.name)
+        return {n: ref.shape for n in names}
+
+    def _ktb(self, b: Sequence[Array], rho, v, params, var_shapes) -> Array:
+        """K^T b accumulation (reference: sum_square.py:123-140)."""
+        Ktb = 0.0
+        for fn in self.quad_fns:
+            off = fn.offset(var_shapes, params)
+            Ktb = Ktb + fn.dag_adjoint(off, params)
+        for i, fn in enumerate(self.other_fns):
+            Ktb = Ktb + rho * fn.dag_adjoint(b[i], params)
+        if v is not None:
+            Ktb = Ktb + rho * v
+        return Ktb
+
+    # -- solves --------------------------------------------------------- #
+
+    def solve(self, b: Sequence[Array], rho, v: Optional[Array] = None,
+              params: Optional[Params] = None, eps: float = 1e-7,
+              var_shapes=None) -> Array:
+        rho = expand_to_bchw(jnp.asarray(rho, jnp.float32))
+        if self.diagonalizable or self.freq_diagonalizable:
+            return self.solve_direct(b, rho, v, params, eps, var_shapes)
+        return self.solve_cg(b, rho, v, params, var_shapes)
+
+    def solve_direct(self, b, rho, v=None, params=None, eps: float = 1e-7,
+                     var_shapes=None) -> Array:
+        if var_shapes is None:
+            ref = v if v is not None else (b[0] if b else None)
+            assert ref is not None, "need b, v or var_shapes for shape inference"
+            var_shapes = self._var_shapes(ref)
+        Ktb = self._ktb(b, rho, v, params, var_shapes)
+
+        freq = self.freq_diagonalizable
+        diag = 0.0
+        for fn in self.quad_fns:
+            diag = diag + fn.linop.gram_diag(Ktb.shape, params, freq)
+        for fn in self.other_fns:
+            diag = diag + rho * fn.linop.gram_diag(Ktb.shape, params, freq)
+        if v is not None:
+            diag = diag + rho
+
+        if freq:
+            F = _fftn2(Ktb)
+            out = jnp.real(_ifftn2((F + eps) / (diag + eps)))
+        else:
+            out = Ktb / (diag + eps)
+        return out.astype(jnp.float32)
+
+    def solve_cg(self, b, rho, v=None, params=None, var_shapes=None) -> Array:
+        if var_shapes is None:
+            ref = v if v is not None else b[0]
+            var_shapes = self._var_shapes(ref)
+        Ktb = self._ktb(b, rho, v, params, var_shapes)
+
+        with_v = v is not None
+        quad_fns, other_fns = self.quad_fns, self.other_fns
+
+        def KtK(theta, x):
+            rho_, params_ = theta
+            out = 0.0
+            for fn in quad_fns:
+                out = out + fn.dag_adjoint(fn.dag_forward(x, params_), params_)
+            for fn in other_fns:
+                out = out + rho_ * fn.dag_adjoint(fn.dag_forward(x, params_), params_)
+            if with_v:
+                out = out + rho_ * x
+            return out
+
+        return linear_solve(KtK, Ktb, theta=(rho, params or {}),
+                            config=self.linear_solve_config)
+
+    def __repr__(self):
+        return (f"least_squares(diagonalizable={self.diagonalizable}, "
+                f"freq_diagonalizable={self.freq_diagonalizable})")

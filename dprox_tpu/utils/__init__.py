@@ -1,0 +1,24 @@
+from .misc import (
+    array,
+    to_jax_array,
+    to_ndarray,
+    debatchify,
+    safe_sqrt,
+    seed_everything,
+    expand_to_bchw,
+    outlier_correct,
+    crop_center_region,
+)
+from .fft import fft2_center, ifft2_center, psf2otf, psf2otf_traced
+from . import metrics
+from . import imaging
+from .imaging import (
+    sample,
+    point_spread_function,
+    fspecial_gaussian,
+    blurring,
+    mosaicing,
+    downsampling,
+    masks_CFA_Bayer,
+    bayer_mask,
+)

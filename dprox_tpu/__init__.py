@@ -47,6 +47,16 @@ from .proxfn import (
     nonneg,
     norm1,
     norm2,
+    csmri,
+    sisr,
+    misr,
+    compress_sensing,
+    spi,
+    phase_ret,
+    patch_nlm,
+    unrolled_prior,
+    deep_prior,
+    get_denoiser,
 )
 from .linalg import LinearSolveConfig, linear_solve
 from .algo import (

@@ -166,13 +166,32 @@ class Algorithm:
         state, _ = jax.lax.scan(body, state, xs)
         return state
 
+    def _has_stateful(self):
+        return any(getattr(fn, "stateful", False)
+                   for fn in self.psi_fns + self.omega_fns)
+
     def _get_jitted(self, return_full: bool):
         key = ("run", return_full)
         if key not in self._jit_cache:
+            unrolled = self._has_stateful()
 
             def _run(x0, rhos, lam_list, params):
                 state = self.initialize(x0, params)
                 offsets = self.psi_offsets(x0, params)
+
+                if unrolled:
+                    # stateful proxfns (DGUNet-style carry) need concrete
+                    # step indices: unroll at trace time
+                    traj = []
+                    for it in range(rhos.shape[0]):
+                        lam = [l[it] for l in lam_list]
+                        state = self._iter(state, rhos[it], lam, it, params,
+                                           offsets)
+                        if return_full:
+                            traj.append(state)
+                    if return_full:
+                        return jax.tree.map(lambda *xs: jnp.stack(xs), *traj)
+                    return state
 
                 def body(st, xs):
                     step, rho, lam = xs

@@ -1,0 +1,8 @@
+from .ffdnet import FFDNet, FFDNet3D
+from .dncnn import DnCNN, FDnCNN, IRCNN
+from .drunet import UNetRes
+from .unet import UNet
+from .tv import tv_denoising, tv_denoising3d
+from .dgu import DGUDenoiser
+from .qrnn import GRUnet, QRNNREDC3D
+from .convert import load_torch_state_dict, torch_to_flax, fold_batchnorm

@@ -1,0 +1,192 @@
+"""QRNN3D / GRUNet hyperspectral denoisers (flax.linen, NDHWC).
+
+Counterpart of
+/root/reference/dprox/proxfn/pnp/denoisers/models/qrnn/{layer,conv,grunet,
+qrnn3d}.py. The QRNN "f-pooling" recurrence along the band axis
+
+    h_t = f_t * h_{t-1} + (1 - f_t) * z_t
+
+is a linear recurrence: instead of the reference's sequential Python loop
+over bands (layer.py:49-70), it runs as a ``jax.lax.associative_scan`` —
+O(log B) depth on TPU. BatchNorm in the torch checkpoints is folded into
+the convs at conversion time, so flax modules are BN-free conv stacks.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def fpool_scan(z: jnp.ndarray, f: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
+    """Parallel f-pooling along axis 1 (the band/depth axis, NDHWC)."""
+    if reverse:
+        z = jnp.flip(z, axis=1)
+        f = jnp.flip(f, axis=1)
+    b = (1.0 - f) * z
+
+    def combine(c1, c2):
+        a1, b1 = c1
+        a2, b2 = c2
+        return a1 * a2, a2 * b1 + b2
+
+    _, h = jax.lax.associative_scan(combine, (f, b), axis=1)
+    if reverse:
+        h = jnp.flip(h, axis=1)
+    return h
+
+
+class Conv3d(nn.Module):
+    features: int
+    k: Tuple[int, int, int] = (3, 3, 3)
+    s: Tuple[int, int, int] = (1, 1, 1)
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        pad = [(kk // 2, kk // 2) for kk in self.k]
+        return nn.Conv(self.features, self.k, strides=self.s, padding=pad,
+                       use_bias=self.bias)(x)
+
+
+class UpsampleConv3d(nn.Module):
+    """Nearest upsample (1,2,2) then conv (reference: conv.py:33-53)."""
+
+    features: int
+    upsample: Tuple[int, int, int] = (1, 2, 2)
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        N, D, H, W, C = x.shape
+        ud, uh, uw = self.upsample
+        x = jax.image.resize(x, (N, D * ud, H * uh, W * uw, C), method="nearest")
+        return Conv3d(self.features, bias=self.bias)(x)
+
+
+class QRNNConv3D(nn.Module):
+    """Single-direction QRNN layer (reference: layer.py:18-70, 126-130)."""
+
+    hidden: int
+    k: Tuple[int, int, int] = (3, 3, 3)
+    s: Tuple[int, int, int] = (1, 1, 1)
+    act: str = "tanh"
+    transposed: bool = False
+    upsample: Tuple[int, int, int] = None
+
+    @nn.compact
+    def __call__(self, x, reverse: bool = False):
+        if self.upsample is not None:
+            gates = UpsampleConv3d(self.hidden * 2, self.upsample)(x)
+        else:
+            gates = Conv3d(self.hidden * 2, self.k, self.s)(x)
+        Z, F = jnp.split(gates, 2, axis=-1)
+        Z = jnp.tanh(Z) if self.act == "tanh" else (nn.relu(Z) if self.act == "relu" else Z)
+        F = jax.nn.sigmoid(F)
+        return fpool_scan(Z, F, reverse)
+
+
+class BiQRNNConv3D(nn.Module):
+    """Bi-directional QRNN layer (reference: layer.py:72-123)."""
+
+    hidden: int
+    k: Tuple[int, int, int] = (3, 3, 3)
+    act: str = "tanh"
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        gates = Conv3d(self.hidden * 3, self.k, bias=self.bias)(x)
+        Z, F1, F2 = jnp.split(gates, 3, axis=-1)
+        Z = jnp.tanh(Z) if self.act == "tanh" else (nn.relu(Z) if self.act == "relu" else Z)
+        hl = fpool_scan(Z, jax.nn.sigmoid(F1), reverse=False)
+        hr = fpool_scan(Z, jax.nn.sigmoid(F2), reverse=True)
+        return hl + hr
+
+
+class ConvBlock(nn.Module):
+    """Residual double-QRNN block (reference: grunet.py:8-32)."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x, reverse: bool = False):
+        r = QRNNConv3D(self.out_ch)(x, reverse=reverse)
+        r = QRNNConv3D(self.out_ch)(r, reverse=reverse)
+        sc = QRNNConv3D(self.out_ch, k=(1, 1, 1))(x, reverse=reverse)
+        return r + sc
+
+
+class GRUnet(nn.Module):
+    """5-scale QRNN UNet (reference: grunet.py:34-105). Input NDHWC with
+    C=1 (+1 noise-map channel when use_noise_map)."""
+
+    in_ch: int = 1
+    out_ch: int = 1
+    use_noise_map: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        f = [16, 32, 64, 128, 256]
+        e1 = BiQRNNConv3D(f[0])(x)
+        e2 = QRNNConv3D(f[0], s=(1, 2, 2))(e1, reverse=True)
+        e2 = ConvBlock(f[1])(e2)
+        e3 = QRNNConv3D(f[1], s=(1, 2, 2))(e2, reverse=True)
+        e3 = ConvBlock(f[2])(e3)
+        e4 = QRNNConv3D(f[2], s=(1, 2, 2))(e3, reverse=True)
+        e4 = ConvBlock(f[3])(e4)
+        e5 = QRNNConv3D(f[3], s=(1, 2, 2))(e4, reverse=True)
+        e5 = ConvBlock(f[4])(e5)
+
+        d5 = QRNNConv3D(f[3], upsample=(1, 2, 2))(e5, reverse=True)
+        d5 = ConvBlock(f[3])(jnp.concatenate([e4, d5], -1))
+        d4 = QRNNConv3D(f[2], upsample=(1, 2, 2))(d5, reverse=True)
+        d4 = ConvBlock(f[2])(jnp.concatenate([e3, d4], -1))
+        d3 = QRNNConv3D(f[1], upsample=(1, 2, 2))(d4, reverse=True)
+        d3 = ConvBlock(f[1])(jnp.concatenate([e2, d3], -1))
+        d2 = QRNNConv3D(f[0], upsample=(1, 2, 2))(d3, reverse=True)
+        d2 = ConvBlock(f[0])(jnp.concatenate([e1, d2], -1))
+
+        out = BiQRNNConv3D(self.out_ch, bias=True)(d2)
+        if self.use_noise_map:
+            return out + x[..., :1]
+        return out + x
+
+
+class QRNNREDC3D(nn.Module):
+    """QRNN3D encoder-decoder (reference: qrnn3d.py:5-47), simplified to
+    the standard config (channels=16, 5 half layers, downsample at [1,3])."""
+
+    in_channels: int = 1
+    channels: int = 16
+    num_half_layer: int = 5
+    sample_idx: Sequence[int] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        feat = BiQRNNConv3D(self.channels)(x)
+        xs = [feat]
+        out = feat
+        ch = self.channels
+        reverse = False
+        for i in range(self.num_half_layer):
+            if i in self.sample_idx:
+                out = QRNNConv3D(ch * 2, s=(1, 2, 2))(out, reverse=reverse)
+                ch *= 2
+            else:
+                out = QRNNConv3D(ch)(out, reverse=reverse)
+            xs.append(out)
+            reverse = not reverse
+        xs.pop()
+        for i in reversed(range(self.num_half_layer)):
+            if i in self.sample_idx:
+                ch //= 2
+                out = QRNNConv3D(ch, upsample=(1, 2, 2))(out, reverse=reverse)
+            else:
+                out = QRNNConv3D(ch)(out, reverse=reverse)
+            out = out + xs.pop()
+            reverse = not reverse
+        out = BiQRNNConv3D(1, bias=True, act="none")(out)
+        return out + x[..., :1]

@@ -1,0 +1,81 @@
+"""TV denoising iterations (dual ascent), jit-friendly lax.fori_loop.
+
+Counterpart of
+/root/reference/dprox/proxfn/pnp/denoisers/models/TV_denoising.py. Works
+on [H,W,B]-shaped stacks like the reference (B = channel/band axis).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _clip(x, t):
+    return jnp.clip(x, -t, t)
+
+
+def _dh(x):
+    return x[:, 1:, :] - x[:, :-1, :]
+
+
+def _dv(x):
+    return x[1:, :, :] - x[:-1, :, :]
+
+
+def _dt(x):
+    return x[:, :, 1:] - x[:, :, :-1]
+
+
+def _dht(z):
+    return jnp.concatenate([-z[:, :1, :], z[:, :-1, :] - z[:, 1:, :], z[:, -1:, :]], 1)
+
+
+def _dvt(z):
+    return jnp.concatenate([-z[:1, :, :], z[:-1, :, :] - z[1:, :, :], z[-1:, :, :]], 0)
+
+
+def _dtt(z):
+    return jnp.concatenate([-z[:, :, :1], z[:, :, :-1] - z[:, :, 1:], z[:, :, -1:]], 2)
+
+
+def tv_denoising(y0, lam, iterations: int = 100):
+    """2-D TV (per band) on [H,W,B] (reference: TV_denoising.py:4-16)."""
+    h, w, b = y0.shape
+    alpha = 5.0
+
+    def body(i, carry):
+        zh, zv, x0 = carry
+        x0h = y0 - _dht(zh)
+        x0v = y0 - _dvt(zv)
+        x0 = (x0h + x0v) / 2.0
+        zh = _clip(zh + (1.0 / alpha) * _dh(x0), lam / 2.0)
+        zv = _clip(zv + (1.0 / alpha) * _dv(x0), lam / 2.0)
+        return zh, zv, x0
+
+    zh = jnp.zeros((h, w - 1, b), jnp.float32)
+    zv = jnp.zeros((h - 1, w, b), jnp.float32)
+    _, _, x0 = jax.lax.fori_loop(0, iterations, body, (zh, zv, y0))
+    return x0
+
+
+def tv_denoising3d(y0, lam, iterations: int = 100):
+    """3-D TV with a band-difference term (reference: TV_denoising.py:18-34)."""
+    h, w, b = y0.shape
+    alpha = 5.0
+
+    def body(i, carry):
+        zh, zv, zt, x0 = carry
+        x0h = y0 - _dht(zh)
+        x0v = y0 - _dvt(zv)
+        x0t = y0 - _dtt(zt)
+        x0 = (x0h + x0v + x0t) / 3.0
+        zh = _clip(zh + (1.0 / alpha) * _dh(x0), lam / 2.0)
+        zv = _clip(zv + (1.0 / alpha) * _dv(x0), lam / 2.0)
+        zt = _clip(zt + (1.0 / alpha) * _dt(x0), lam / 2.0)
+        return zh, zv, zt, x0
+
+    zh = jnp.zeros((h, w - 1, b), jnp.float32)
+    zv = jnp.zeros((h - 1, w, b), jnp.float32)
+    zt = jnp.zeros((h, w, b - 1), jnp.float32)
+    _, _, _, x0 = jax.lax.fori_loop(0, iterations, body, (zh, zv, zt, y0))
+    return x0

@@ -6,3 +6,7 @@ from .sum_squares import (
     weighted_sum_squares,
     least_squares,
 )
+from .fast import csmri, sisr, misr, compress_sensing, spi, phase_ret
+from .nlm import patch_nlm
+from .unrolled import unrolled_prior
+from .pnp import deep_prior, get_denoiser

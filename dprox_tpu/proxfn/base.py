@@ -26,6 +26,10 @@ Array = jnp.ndarray
 
 
 class ProxFn:
+    # stateful proxfns carry cross-iteration context (e.g. DGUNet stages)
+    # and require concrete step indices -> solvers unroll instead of scan
+    stateful = False
+
     def __init__(self, linop: LinOp, alpha: float = 1.0, beta: float = 1.0):
         self.linop = linop
         self.alpha = float(alpha)

@@ -1,0 +1,280 @@
+"""Denoiser wrappers: uniform ``denoise(x, sigma)`` over the model zoo.
+
+Counterpart of /root/reference/dprox/proxfn/pnp/denoisers/{base,wrapper,
+composite}.py. Wrappers hold a flax module + param pytree and run NCHW ->
+NHWC -> NCHW at the boundary (TPU conv layouts are NHWC-native). Param
+pytrees can be overridden per call so training paths thread gradients
+through explicit arguments instead of mutable module state.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...models import (DnCNN, FFDNet, FFDNet3D, IRCNN, UNet, UNetRes,
+                       load_torch_state_dict, torch_to_flax, tv_denoising,
+                       tv_denoising3d)
+
+Array = jnp.ndarray
+
+
+def _nchw_to_nhwc(x):
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def _nhwc_to_nchw(x):
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+class Denoiser:
+    """Base wrapper (reference: denoisers/base.py:5-18)."""
+
+    module = None
+
+    def __init__(self, params=None):
+        self.params = params
+        self.pretrained = params is not None
+
+    def init_params(self, sample_shape, key=0):
+        raise NotImplementedError
+
+    def denoise(self, x: Array, sigma, params=None) -> Array:
+        """x: [B,C,H,W]; sigma: scalar/[B]; returns [B,C,H,W]."""
+        raise NotImplementedError
+
+    def __call__(self, x, sigma, params=None):
+        return self.denoise(x, sigma, params)
+
+
+class Denoiser2D(Denoiser):
+    """Grayscale model applied per band — vectorized by folding the
+    channel axis into the batch (reference loops bands: base.py:21-25)."""
+
+    def denoise(self, x, sigma, params=None):
+        B, C, H, W = x.shape
+        flat = x.reshape(B * C, 1, H, W)
+        out = self._denoise_gray(flat, sigma, params)
+        return out.reshape(B, C, H, W)
+
+
+class FFDNetDenoiser(Denoiser2D):
+    """(reference: wrapper.py:25-35)"""
+
+    def __init__(self, params=None, ckpt_path: Optional[str] = None):
+        self.module = FFDNet(in_nc=1, out_nc=1, nc=64, nb=15)
+        if params is None and ckpt_path is not None:
+            params = self._load(ckpt_path)
+        if params is None:
+            params = self.module.init(jax.random.key(0),
+                                      jnp.zeros((1, 32, 32, 1)), jnp.zeros(()))
+            super().__init__(None)
+            self.params = params
+            return
+        super().__init__(params)
+
+    def _load(self, path):
+        init = self.module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)),
+                                jnp.zeros(()))
+        return torch_to_flax(load_torch_state_dict(path), init)
+
+    def _denoise_gray(self, x, sigma, params=None):
+        p = params if params is not None else self.params
+        out = self.module.apply(p, _nchw_to_nhwc(x), jnp.asarray(sigma))
+        return _nhwc_to_nchw(out)
+
+
+class FFDNetColorDenoiser(Denoiser):
+    """(reference: wrapper.py:38-48)"""
+
+    def __init__(self, params=None, ckpt_path: Optional[str] = None):
+        self.module = FFDNet(in_nc=3, out_nc=3, nc=96, nb=12)
+        init = self.module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                                jnp.zeros(()))
+        if params is None and ckpt_path is not None:
+            params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
+        super().__init__(params if params is not None else None)
+        if self.params is None:
+            self.params = init
+
+    def denoise(self, x, sigma, params=None):
+        p = params if params is not None else self.params
+        out = self.module.apply(p, _nchw_to_nhwc(x), jnp.asarray(sigma))
+        return _nhwc_to_nchw(out)
+
+
+class DRUNetDenoiser(Denoiser):
+    """DRUNet with tiled ("refield") inference for large inputs
+    (reference: wrapper.py:91-146)."""
+
+    def __init__(self, n_channels=3, params=None, ckpt_path: Optional[str] = None,
+                 min_size: int = 256, modulo: int = 16):
+        self.n_channels = n_channels
+        self.min_size = min_size
+        self.modulo = modulo
+        self.module = UNetRes(in_nc=n_channels + 1, out_nc=n_channels,
+                              nc=(64, 128, 256, 512), nb=4)
+        init = self.module.init(jax.random.key(0),
+                                jnp.zeros((1, 64, 64, n_channels + 1)))
+        if params is None and ckpt_path is not None:
+            params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
+        super().__init__(params if params is not None else None)
+        if self.params is None:
+            self.params = init
+
+    def _apply(self, x_nhwc, params):
+        # pad to multiple of `modulo` (edge), run, crop
+        h, w = x_nhwc.shape[1:3]
+        ph, pw = (-h) % self.modulo, (-w) % self.modulo
+        if ph or pw:
+            x_nhwc = jnp.pad(x_nhwc, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        out = self.module.apply(params, x_nhwc)
+        return out[:, :h, :w, :]
+
+    def denoise(self, x, sigma, params=None):
+        p = params if params is not None else self.params
+        sigma = jnp.asarray(sigma, x.dtype).reshape((-1, 1, 1, 1))
+        smap = jnp.ones_like(x[:, :1]) * sigma
+        inp = jnp.concatenate([x, smap], axis=1)
+        nhwc = _nchw_to_nhwc(inp)
+        h, w = nhwc.shape[1:3]
+        if max(h, w) <= self.min_size:
+            return _nhwc_to_nchw(self._apply(nhwc, p))
+        # quadrant split with shared borders (static shapes per quadrant)
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        quads = [nhwc[:, :h2 + 8, :w2 + 8], nhwc[:, :h2 + 8, w - (w2 + 8):],
+                 nhwc[:, h - (h2 + 8):, :w2 + 8], nhwc[:, h - (h2 + 8):, w - (w2 + 8):]]
+        outs = [self._apply(q, p) for q in quads]
+        top = jnp.concatenate([outs[0][:, :h2, :w2], outs[1][:, :h2, -(w - w2):]], axis=2)
+        bot = jnp.concatenate([outs[2][:, -(h - h2):, :w2], outs[3][:, -(h - h2):, -(w - w2):]], axis=2)
+        return _nhwc_to_nchw(jnp.concatenate([top, bot], axis=1))
+
+
+class IRCNNDenoiser(Denoiser2D):
+    """25 per-sigma weight sets, selected by a traced index via stacked
+    params + dynamic indexing (the reference hot-swaps state_dicts on the
+    host, wrapper.py:66-88 — not jit-compatible; stacking is)."""
+
+    def __init__(self, n_channels=1, params_stack=None, ckpt_path: Optional[str] = None):
+        self.module = IRCNN(in_nc=n_channels, out_nc=n_channels, nc=64)
+        init = self.module.init(jax.random.key(0), jnp.zeros((1, 32, 32, n_channels)))
+        if params_stack is None and ckpt_path is not None:
+            sds = load_torch_state_dict(ckpt_path)  # dict idx -> state_dict
+            import torch
+
+            raw = torch.load(ckpt_path, map_location="cpu")
+            plist = []
+            for i in range(25):
+                sd = {k: v.numpy() for k, v in raw[str(i)].items()}
+                plist.append(torch_to_flax(sd, init))
+            params_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *plist)
+        self.params_stack = params_stack
+        super().__init__(params_stack)
+        if self.params_stack is None:
+            self.params_stack = jax.tree.map(lambda x: jnp.stack([x] * 25), init)
+
+    def _denoise_gray(self, x, sigma, params=None):
+        stack = params if params is not None else self.params_stack
+        sig = jnp.max(jnp.asarray(sigma))
+        idx = jnp.clip(jnp.ceil(sig * 255.0 / 2.0) - 1, 0, 24).astype(jnp.int32)
+        p = jax.tree.map(lambda t: t[idx], stack)
+        out = self.module.apply(p, _nchw_to_nhwc(x))
+        return _nhwc_to_nchw(out)
+
+
+class UNetDenoiser(Denoiser2D):
+    """CSMRI 'unet-nm' prior: per-band, input = concat(x, sigma map),
+    residual out, clamped to [0,1] (reference: wrapper.py:205-221)."""
+
+    def __init__(self, params=None, ckpt_path: Optional[str] = None):
+        self.module = UNet(in_channels=2, out_channels=1)
+        init = self.module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 2)))
+        if params is None and ckpt_path is not None:
+            import torch
+
+            raw = torch.load(ckpt_path, map_location="cpu")
+            sd = raw.state_dict() if hasattr(raw, "state_dict") else raw
+            sd = {k: v.detach().numpy() for k, v in sd.items()}
+            params = torch_to_flax(sd, init)
+        super().__init__(params if params is not None else None)
+        if self.params is None:
+            self.params = init
+
+    def _denoise_gray(self, x, sigma, params=None):
+        p = params if params is not None else self.params
+        sigma = jnp.asarray(sigma, x.dtype).reshape((-1, 1, 1, 1))
+        smap = jnp.ones_like(x) * sigma
+        inp = jnp.concatenate([x, smap], axis=1)
+        out = self.module.apply(p, _nchw_to_nhwc(inp))
+        return jnp.clip(_nhwc_to_nchw(out), 0.0, 1.0)
+
+
+class TVDenoiser(Denoiser):
+    """(reference: wrapper.py:8-22)"""
+
+    def __init__(self, iter_num: int = 5, use_3dtv: bool = False):
+        super().__init__(params=())
+        self.iter_num = iter_num
+        self.use_3dtv = use_3dtv
+
+    def denoise(self, x, sigma, params=None):
+        B, C, H, W = x.shape
+        fn = tv_denoising3d if self.use_3dtv else tv_denoising
+
+        def one(img):  # [C,H,W] -> [H,W,C]
+            hwc = jnp.transpose(img, (1, 2, 0))
+            out = fn(hwc, jnp.asarray(sigma, x.dtype), self.iter_num)
+            return jnp.transpose(out, (2, 0, 1))
+
+        return jax.vmap(one)(x)
+
+
+class Augment(Denoiser):
+    """Geometric self-ensemble: average over the 8 dihedral transforms.
+
+    The reference cycles one transform per call with mutable state
+    (composite.py:5-47) — stateful and jit-hostile; averaging all 8 in
+    one batched pass is the pure equivalent used at inference.
+    """
+
+    def __init__(self, denoiser: Denoiser):
+        self.inner = denoiser
+        self.params = denoiser.params
+        self.pretrained = denoiser.pretrained
+
+    def denoise(self, x, sigma, params=None):
+        outs = []
+        for k in range(4):
+            xr = jnp.rot90(x, k, axes=(-2, -1))
+            o = self.inner.denoise(xr, sigma, params)
+            outs.append(jnp.rot90(o, -k, axes=(-2, -1)))
+            xf = jnp.flip(xr, axis=-1)
+            of = self.inner.denoise(xf, sigma, params)
+            outs.append(jnp.rot90(jnp.flip(of, axis=-1), -k, axes=(-2, -1)))
+        return sum(outs) / 8.0
+
+
+class DeepTVDenoiser(Denoiser):
+    """Weighted fusion of a deep denoiser and TV outputs.
+
+    The reference solves a tiny cvxpy QP for fusion weights per call
+    (composite.py:50-104); here the same least-squares fusion weight is
+    computed in closed form (2 candidates -> scalar projection).
+    """
+
+    def __init__(self, deep_denoiser: Denoiser, tv_iter: int = 10):
+        self.deep = deep_denoiser
+        self.tv = TVDenoiser(iter_num=tv_iter)
+        self.params = deep_denoiser.params
+        self.pretrained = deep_denoiser.pretrained
+
+    def denoise(self, x, sigma, params=None):
+        d = self.deep.denoise(x, sigma, params)
+        t = self.tv.denoise(x, sigma)
+        # fusion weight minimizing ||w*d + (1-w)*t - x||^2, clipped to [0,1]
+        num = jnp.sum((x - t) * (d - t))
+        den = jnp.sum((d - t) ** 2) + 1e-12
+        w = jnp.clip(num / den, 0.0, 1.0)
+        return w * d + (1 - w) * t

@@ -1,0 +1,75 @@
+"""GRUNet / QRNN3D hyperspectral denoiser wrappers.
+
+Counterpart of /root/reference/dprox/proxfn/pnp/denoisers/wrapper.py:
+148-200. Inputs are [B, Bands, H, W]; the 3-D recurrent nets consume
+NDHWC with the band axis as depth and a concatenated noise-map channel.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...models.qrnn import GRUnet, QRNNREDC3D
+from ...models.convert import load_torch_state_dict, torch_to_flax
+from .denoisers import Denoiser, TVDenoiser
+
+
+class GRUNetDenoiser(Denoiser):
+    def __init__(self, params=None, ckpt_path: Optional[str] = None):
+        self.module = GRUnet(in_ch=2, out_ch=1, use_noise_map=True)
+        init = self.module.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 2)))
+        if params is None and ckpt_path is not None:
+            params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
+        super().__init__(params if params is not None else None)
+        if self.params is None:
+            self.params = init
+
+    def denoise(self, x, sigma, params=None):
+        p = params if params is not None else self.params
+        # [B, Bands, H, W] -> NDHWC with C = (signal, noise map)
+        ndhwc = x[..., None]
+        sigma = jnp.asarray(sigma, x.dtype).reshape((-1, 1, 1, 1, 1))
+        smap = jnp.ones_like(ndhwc) * sigma
+        inp = jnp.concatenate([ndhwc, smap], axis=-1)
+        out = self.module.apply(p, inp)
+        return out[..., 0]
+
+
+class QRNN3DDenoiser(Denoiser):
+    def __init__(self, params=None, ckpt_path: Optional[str] = None,
+                 use_noise_map: bool = True):
+        self.use_noise_map = use_noise_map
+        in_ch = 2 if use_noise_map else 1
+        self.module = QRNNREDC3D(in_channels=in_ch)
+        init = self.module.init(jax.random.key(0),
+                                jnp.zeros((1, 4, 16, 16, in_ch)))
+        if params is None and ckpt_path is not None:
+            params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
+        super().__init__(params if params is not None else None)
+        if self.params is None:
+            self.params = init
+
+    def denoise(self, x, sigma, params=None):
+        p = params if params is not None else self.params
+        ndhwc = x[..., None]
+        if self.use_noise_map:
+            sigma = jnp.asarray(sigma, x.dtype).reshape((-1, 1, 1, 1, 1))
+            smap = jnp.ones_like(ndhwc) * sigma
+            ndhwc = jnp.concatenate([ndhwc, smap], axis=-1)
+        out = self.module.apply(p, ndhwc)
+        return out[..., 0]
+
+
+class GRUNetTVDenoiser(GRUNetDenoiser):
+    """(reference: wrapper.py:194-202)"""
+
+    def __init__(self, params=None, ckpt_path: Optional[str] = None):
+        super().__init__(params, ckpt_path)
+        self.tv = TVDenoiser()
+
+    def denoise(self, x, sigma, params=None):
+        x1 = super().denoise(x, sigma, params)
+        x2 = self.tv.denoise(x, jnp.asarray(sigma) * 255.0)
+        return (x1 + x2) / 2.0

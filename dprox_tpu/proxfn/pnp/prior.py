@@ -1,0 +1,104 @@
+"""Plug-and-play deep denoiser prior.
+
+Counterpart of /root/reference/dprox/proxfn/pnp/prior.py: the prox of the
+learned prior is a denoiser evaluated at noise level derived from lam
+(optionally sqrt'ed), run as batched TPU inference inside the solver scan.
+Trainable denoiser parameters are threaded through the solver's ``params``
+dict under ``param_key`` (instead of nn.Module mutable state), so
+unrolled/DEQ training differentiates through the prox naturally.
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.misc import safe_sqrt
+from ..base import ProxFn
+from .denoisers import (Augment, Denoiser, DRUNetDenoiser, FFDNetColorDenoiser,
+                        FFDNetDenoiser, IRCNNDenoiser, TVDenoiser, UNetDenoiser)
+from .hub import find_weights
+
+
+def get_denoiser(kind: str) -> Denoiser:
+    """Registry keyed by string, loading local pretrained weights when
+    available (reference: prior.py:15-36; weights looked up offline via
+    dprox_tpu.proxfn.pnp.hub instead of HuggingFace downloads)."""
+    if kind == "ffdnet":
+        return FFDNetDenoiser(ckpt_path=find_weights("ffdnet_gray.pth"))
+    if kind == "ffdnet_color":
+        return FFDNetColorDenoiser(ckpt_path=find_weights("ffdnet_color.pth"))
+    if kind == "drunet_color":
+        return DRUNetDenoiser(3, ckpt_path=find_weights("drunet_color.pth"))
+    if kind == "drunet":
+        return DRUNetDenoiser(1, ckpt_path=find_weights("drunet_gray.pth"))
+    if kind == "ircnn":
+        return IRCNNDenoiser(1, ckpt_path=find_weights("ircnn_gray.pth"))
+    if kind == "unet":
+        return UNetDenoiser(ckpt_path=find_weights("unet-nm.pt"))
+    if kind == "tv":
+        return TVDenoiser()
+    if kind == "grunet":
+        from .grunet import GRUNetDenoiser
+
+        return GRUNetDenoiser(ckpt_path=find_weights("unet_qrnn3d.pth"))
+    raise KeyError(f"unknown denoiser '{kind}'")
+
+
+class deep_prior(ProxFn):
+    """(reference: prior.py:43-91)"""
+
+    def __init__(self, linop, denoiser: Union[str, Denoiser] = "ffdnet",
+                 x8: bool = False, clamp: bool = False, trainable: bool = False,
+                 unroll_step: Optional[int] = None, sqrt: bool = False,
+                 param_key: Optional[str] = None):
+        super().__init__(linop)
+        self.name = denoiser if isinstance(denoiser, str) else type(denoiser).__name__
+        self.denoiser = get_denoiser(denoiser) if isinstance(denoiser, str) else denoiser
+        if x8:
+            self.denoiser = Augment(self.denoiser)
+        self.clamp = clamp
+        self.sqrt = sqrt
+        self.trainable = trainable
+        self.param_key = param_key
+        self.unroll = unroll_step is not None
+        self.unroll_step = unroll_step
+        if self.unroll:
+            # per-step unshared weights: stacked param pytree indexed by the
+            # traced iteration counter (the reference deep-copies modules,
+            # prior.py:63-69)
+            base = self.denoiser.params
+            self.unrolled_params = jax.tree.map(
+                lambda p: jnp.stack([p] * unroll_step), base)
+
+    def _denoiser_params(self, params, step):
+        if self.param_key is not None and params and self.param_key in params:
+            p = params[self.param_key]
+        elif self.unroll:
+            p = self.unrolled_params
+        else:
+            return None  # wrapper default
+        if self.unroll:
+            idx = jnp.clip(step if step is not None else 0, 0, self.unroll_step - 1)
+            p = jax.tree.map(lambda t: t[idx], p)
+        return p
+
+    def eval(self, v):
+        raise NotImplementedError("deep prior cannot be explicitly evaluated")
+
+    def _prox(self, v, lam, params=None, step=None):
+        sigma = safe_sqrt(lam) if self.sqrt else lam
+        if self.clamp:
+            v = jnp.clip(v, 0.0, 1.0)
+        if jnp.iscomplexobj(v):
+            v = jnp.real(v)
+        squeeze = v.ndim == 3
+        inp = v[:, None] if squeeze else v
+        dp = self._denoiser_params(params, step)
+        out = self.denoiser.denoise(inp, sigma.reshape(-1), params=dp)
+        out = out.astype(v.dtype) if not jnp.iscomplexobj(v) else out
+        return out.reshape(v.shape)
+
+    def __repr__(self):
+        return f'deep_prior(denoiser="{self.name}", unroll={self.unroll})'

@@ -1,0 +1,121 @@
+"""Denoiser zoo: shape/compile checks with deterministic random weights.
+
+The reference's model tests require pretrained CUDA weights from
+HuggingFace; this environment is offline, so these tests pin shapes,
+dtype flow, and jit-compatibility (weight-conversion fidelity is covered
+by test_convert when a checkpoint is present locally).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dprox_tpu.models import (DGUDenoiser, DnCNN, FFDNet, GRUnet, IRCNN, UNet,
+                              UNetRes, tv_denoising)
+
+
+KEY = jax.random.key(0)
+
+
+def test_ffdnet_shapes():
+    m = FFDNet(in_nc=1, out_nc=1, nc=64, nb=15)
+    x = jnp.zeros((2, 33, 31, 1))  # odd sizes exercise replication pad
+    p = m.init(KEY, x, jnp.zeros(()))
+    y = m.apply(p, x, jnp.asarray([0.1, 0.2]))
+    assert y.shape == x.shape
+
+
+def test_ffdnet_color_shapes():
+    m = FFDNet(in_nc=3, out_nc=3, nc=96, nb=12)
+    x = jnp.zeros((1, 32, 32, 3))
+    p = m.init(KEY, x, jnp.zeros(()))
+    assert m.apply(p, x, 0.1).shape == x.shape
+
+
+def test_dncnn_ircnn():
+    for m in (DnCNN(nb=5), IRCNN()):
+        x = jnp.zeros((1, 16, 16, 1))
+        p = m.init(KEY, x)
+        assert m.apply(p, x).shape == x.shape
+
+
+def test_drunet_shapes():
+    m = UNetRes(in_nc=2, out_nc=1, nc=(8, 16, 32, 64), nb=2)
+    x = jnp.zeros((1, 64, 64, 2))
+    p = m.init(KEY, x)
+    assert m.apply(p, x).shape == (1, 64, 64, 1)
+
+
+def test_unet_shapes():
+    m = UNet(in_channels=2, out_channels=1)
+    x = jnp.zeros((1, 64, 64, 2))
+    p = m.init(KEY, x)
+    assert m.apply(p, x).shape == (1, 64, 64, 1)
+
+
+def test_grunet_shapes():
+    m = GRUnet(in_ch=2, out_ch=1, use_noise_map=True)
+    x = jnp.zeros((1, 8, 32, 32, 2))
+    p = m.init(KEY, x)
+    assert m.apply(p, x).shape == (1, 8, 32, 32, 1)
+
+
+def test_fpool_scan_matches_loop():
+    from dprox_tpu.models.qrnn import fpool_scan
+
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.rand(1, 6, 4, 4, 2).astype(np.float32))
+    f = jax.nn.sigmoid(jnp.asarray(rng.randn(1, 6, 4, 4, 2).astype(np.float32)))
+    out = fpool_scan(z, f)
+    # sequential reference
+    h = None
+    hs = []
+    for t in range(6):
+        zt, ft = z[:, t], f[:, t]
+        h = (1 - ft) * zt if h is None else ft * h + (1 - ft) * zt
+        hs.append(h)
+    ref = jnp.stack(hs, axis=1)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # reverse direction
+    out_r = fpool_scan(z, f, reverse=True)
+    h = None
+    hs = []
+    for t in reversed(range(6)):
+        zt, ft = z[:, t], f[:, t]
+        h = (1 - ft) * zt if h is None else ft * h + (1 - ft) * zt
+        hs.insert(0, h)
+    ref_r = jnp.stack(hs, axis=1)
+    assert np.allclose(np.asarray(out_r), np.asarray(ref_r), atol=1e-5)
+
+
+def test_dgu_stages():
+    m = DGUDenoiser(n_feat=8, scale_unetfeats=4, scale_orsnetfeats=4)
+    v = jnp.zeros((1, 32, 32, 3))
+    p = m.init(KEY, v)
+    x, carry = m.apply(p, v, method="first")
+    assert x.shape == v.shape
+    x, carry = m.apply(p, x, carry, method="middle")
+    assert x.shape == v.shape
+    out = m.apply(p, x, carry, method="last")
+    assert out.shape == v.shape
+
+
+def test_tv_denoising_runs():
+    y = jnp.asarray(np.random.RandomState(0).rand(16, 16, 3).astype(np.float32))
+    out = tv_denoising(y, 0.1, 10)
+    assert out.shape == y.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pixel_shuffle_roundtrip_torch_order():
+    import torch
+
+    from dprox_tpu.models.blocks import pixel_shuffle, pixel_unshuffle
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 8, 8, 4).astype(np.float32)  # NHWC
+    ours = pixel_unshuffle(jnp.asarray(x), 2)
+    theirs = torch.pixel_unshuffle(torch.from_numpy(x.transpose(0, 3, 1, 2)), 2)
+    assert np.allclose(np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1))
+    back = pixel_shuffle(ours, 2)
+    assert np.allclose(np.asarray(back), x)

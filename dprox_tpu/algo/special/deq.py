@@ -1,0 +1,123 @@
+"""Deep-equilibrium solver specialization.
+
+Counterpart of /root/reference/dprox/algo/specialization/deq/solver.py.
+The reference registers a torch backward hook that solves the adjoint
+fixed point y = y J_f + g by Anderson (solver.py:42-52); here the same
+math is a two-phase ``jax.custom_vjp``:
+
+    fwd: z* = anderson(z -> f(theta, z))
+    bwd: y* = anderson(y -> vjp_f_z(y) + g);  gtheta = vjp_f_theta(y*)
+
+Gradients are exact at the equilibrium regardless of forward iteration
+count; z0 receives zero gradient (the fixed point is init-independent).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.misc import to_jax_array
+from ..base import Algorithm
+from .fixed_point import FIXED_POINT_SOLVERS, anderson
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5))
+def deq_fixed_point(f: Callable, theta, z0, f_thres: int = 40,
+                    b_thres: int = 40, solver: str = "anderson"):
+    """Differentiable fixed point of z = f(theta, z)."""
+    engine = FIXED_POINT_SOLVERS[solver]
+    return engine(lambda z: f(theta, z), z0, threshold=f_thres)
+
+
+def _deq_fwd(f, theta, z0, f_thres, b_thres, solver):
+    z_star = deq_fixed_point(f, theta, z0, f_thres, b_thres, solver)
+    return z_star, (theta, z_star)
+
+
+def _deq_bwd(f, f_thres, b_thres, solver, res, g):
+    theta, z_star = res
+    engine = FIXED_POINT_SOLVERS[solver]
+    _, vjp_z = jax.vjp(lambda z: f(theta, z), z_star)
+    y_star = engine(lambda y: vjp_z(y)[0] + g, jnp.zeros_like(g),
+                    threshold=b_thres)
+    _, vjp_theta = jax.vjp(lambda t: f(t, z_star), theta)
+    (gtheta,) = vjp_theta(y_star)
+    return gtheta, jnp.zeros_like(z_star)
+
+
+deq_fixed_point.defvjp(_deq_fwd, _deq_bwd)
+
+
+class DEQSolver:
+    """Wrap a compiled Algorithm as a deep-equilibrium model.
+
+    One whole solver iteration becomes the fixed-point map over the
+    packed state (reference: solver.py:57-109). Learnable global (r, l)
+    multipliers live in the explicit ``params`` dict under 'deq_r'/'deq_l'.
+    """
+
+    def __init__(self, solver: Algorithm, learned_params: bool = False,
+                 f_thres: int = 40, b_thres: int = 40, solver_type: str = "anderson",
+                 rhos=None, lams=None):
+        self.internal = solver
+        self.learned_params = learned_params
+        self.f_thres = f_thres
+        self.b_thres = b_thres
+        self.solver_type = solver_type
+        self.rhos = rhos
+        self.lams = lams
+
+    def init_params(self):
+        if not self.learned_params:
+            return {}
+        return {"deq_r": jnp.asarray(1.0), "deq_l": jnp.asarray(1.0)}
+
+    def solve(self, x0=None, rhos=None, lams=None, params: Optional[dict] = None,
+              **kwargs):
+        x0 = to_jax_array(x0, batch=True).astype(jnp.float32)
+        params = dict(params) if params else {}
+        if rhos is None:
+            rhos = self.rhos
+        if lams is None:
+            lams = self.lams
+        rhos_arr, lam_list = self.internal.defaults(rhos, lams, 1)
+        rho = rhos_arr[0]
+        lam = [l[0] for l in lam_list]
+        if self.learned_params:
+            r = params.get("deq_r", jnp.asarray(1.0))
+            l = params.get("deq_l", jnp.asarray(1.0))
+            rho = rho * r
+            lam = [v * l for v in lam]
+
+        solver = self.internal
+        state0 = solver.initialize(x0, params)
+        z0 = solver.pack(state0)
+        offsets = solver.psi_offsets(x0, params)
+        shapes = [jax.tree.map(lambda a: a.shape, s) for s in state0]
+
+        def f(theta, z):
+            rho_, lam_, params_ = theta
+            state = solver.unpack(z)
+            state = solver._iter(tuple(state), rho_, list(lam_), 0, params_,
+                                 offsets)
+            return solver.pack(state)
+
+        z_star = deq_fixed_point(f, (rho, tuple(lam), params), z0,
+                                 self.f_thres, self.b_thres, self.solver_type)
+        state = solver.unpack(z_star)
+        return state[0]
+
+    def load(self, state):
+        self.rhos = state.get("rhos")
+        self.lams = state.get("lams")
+
+
+def train_deq(solver: DEQSolver, step_fn=None, **kwargs):
+    """Supervised DEQ training loop (reference: deq/training.py:12-116) —
+    delegates to the shared optax loop."""
+    from .training import train_supervised
+
+    return train_supervised(step_fn=step_fn, **kwargs)

@@ -1,0 +1,130 @@
+"""Specializations: unroll, DEQ (fixed point + implicit backward), RL tuner."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dprox_tpu as dp
+from dprox_tpu.algo.special import (AutoTuneSolver, DEQSolver, UnrolledSolver,
+                                    anderson, broyden, build_unrolled_solver,
+                                    deq_fixed_point)
+from dprox_tpu.utils import imaging, metrics
+
+
+def _small_problem(H=32):
+    img = imaging.sample("face")[:, :, :H, :H]
+    psf = imaging.point_spread_function(5, 2)
+    b = imaging.blurring(img, psf)
+    x = dp.Variable()
+    data = dp.sum_squares(dp.conv(x, psf) - b)
+    reg = dp.nonneg(x)
+    return img, b, [data, reg]
+
+
+class TestFixedPoint:
+    def test_anderson_linear_contraction(self):
+        # f(z) = A z + c with ||A|| < 1 -> z* = (I-A)^-1 c
+        rng = np.random.RandomState(0)
+        A = rng.rand(8, 8).astype(np.float32)
+        A = 0.4 * A / np.abs(np.linalg.eigvals(A)).max()
+        c = rng.rand(1, 8).astype(np.float32)
+        f = lambda z: jnp.einsum("ij,bj->bi", A, z) + c
+        z_star = anderson(f, jnp.zeros((1, 8)), threshold=50, eps=1e-8)
+        expect = np.linalg.solve(np.eye(8) - A, c[0])
+        assert np.allclose(np.asarray(z_star)[0], expect, atol=1e-3)
+
+    def test_broyden_linear_contraction(self):
+        rng = np.random.RandomState(1)
+        A = rng.rand(6, 6).astype(np.float32)
+        A = 0.3 * A / np.abs(np.linalg.eigvals(A)).max()
+        c = rng.rand(1, 6).astype(np.float32)
+        f = lambda z: jnp.einsum("ij,bj->bi", A, z) + c
+        z_star = broyden(f, jnp.zeros((1, 6)), threshold=60, eps=1e-8)
+        expect = np.linalg.solve(np.eye(6) - A, c[0])
+        assert np.allclose(np.asarray(z_star)[0], expect, atol=1e-3)
+
+    def test_deq_implicit_gradient_matches_analytic(self):
+        # z* = theta * 0.5 + 0.5 z  ->  z* = theta; dz*/dtheta = 1
+        def f(theta, z):
+            return 0.5 * theta + 0.5 * z
+
+        def loss(theta):
+            z = deq_fixed_point(f, theta, jnp.zeros((1, 4)), 50, 50, "anderson")
+            return jnp.sum(z)
+
+        g = jax.grad(loss)(jnp.ones((1, 4)))
+        assert np.allclose(np.asarray(g), 1.0, atol=1e-3)
+
+
+class TestUnroll:
+    def test_share_partial(self):
+        img, b, fns = _small_problem()
+        solver = dp.compile(fns, method="admm")
+        s = build_unrolled_solver(solver, share=True, max_iter=5, rhos=0.05,
+                                  lams=0.01)
+        out = s.solve(x0=b)
+        assert out.shape == b.shape
+
+    def test_learnable_schedules_gradients(self):
+        img, b, fns = _small_problem()
+        x = fns[0].linop.variables[0]
+        # lam-sensitive prior (nonneg's projection ignores lam)
+        fns = [fns[0], dp.norm1(dp.grad(x, 0))]
+        solver = dp.compile(fns, method="admm")
+        s = UnrolledSolver(solver, max_iter=5, learned_params=True,
+                           rhos=0.05, lams=0.01)
+        params = s.init_params()
+        assert params["unroll_rhos"].shape == (5,)
+
+        def loss(p):
+            out = s.solve(x0=b, params=p)
+            return jnp.mean((out - img) ** 2)
+
+        g = jax.grad(loss)(params)
+        assert float(jnp.abs(g["unroll_rhos"]).sum()) > 0
+        assert float(jnp.abs(g["unroll_lams"][0]).sum()) > 0
+
+
+class TestDEQ:
+    def test_deq_solver_runs(self):
+        img, b, fns = _small_problem()
+        solver = dp.compile(fns, method="admm")
+        s = DEQSolver(solver, f_thres=20, b_thres=20)
+        out = s.solve(x0=b, rhos=0.1, lams=0.05)
+        assert out.shape == b.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_deq_learned_params_gradient(self):
+        img, b, fns = _small_problem()
+        solver = dp.compile(fns, method="admm")
+        s = DEQSolver(solver, learned_params=True, f_thres=15, b_thres=15)
+        params = s.init_params()
+
+        def loss(p):
+            out = s.solve(x0=b, rhos=0.1, lams=0.05, params=p)
+            return jnp.mean((out - img) ** 2)
+
+        g = jax.grad(loss)(params)
+        assert np.isfinite(float(g["deq_r"]))
+        assert abs(float(g["deq_r"])) + abs(float(g["deq_l"])) > 0
+
+
+class TestAutoTune:
+    def test_solve_and_train(self):
+        img, b, fns = _small_problem(H=32)
+        solver = dp.compile(fns, method="admm")
+        tuner = AutoTuneSolver(solver, action_pack=2, max_episode_step=2)
+        out = tuner.solve(b)
+        assert out.shape == b.shape
+
+        dataset = [{"x0": b, "gt": img}] * 2
+        params = tuner.train(dataset, epochs=1, log_every=0)
+        out2 = tuner.solve(b, params=params)
+        assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_specialize_registry():
+    img, b, fns = _small_problem()
+    solver = dp.compile(fns, method="admm")
+    s = dp.specialize(solver, method="deq", f_thres=10, b_thres=10)
+    assert isinstance(s, DEQSolver)

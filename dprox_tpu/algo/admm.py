@@ -58,6 +58,7 @@ class ADMM(Algorithm):
         for i, fn in enumerate(self.psi_fns):
             vi = fn.prox(Kx[i] + u[i], lam[i], params=params, step=step,
                          offset=offsets[i])
+            vi = vi.astype(Kx[i].dtype)  # keep carry dtype stable (CSMRI)
             v_new.append(vi)
             u_new.append(u[i] + Kx[i] - vi)
         return (x, tuple(v_new), tuple(u_new))
@@ -90,6 +91,7 @@ class LinearizedADMM(ADMM):
         for i, fn in enumerate(self.psi_fns):
             vi = fn.prox(Kx[i] + u[i], lam[i], params=params, step=step,
                          offset=offsets[i])
+            vi = vi.astype(Kx[i].dtype)
             v_new.append(vi)
             u_new.append(u[i] + Kx[i] - vi)
         return (x, tuple(v_new), tuple(u_new))
@@ -104,7 +106,7 @@ class ADMM_vxu(ADMM):
         x_new = []
         for i, fn in enumerate(self.psi_fns):
             x_new.append(fn.prox(Kz[i] - u[i], lam[i], params=params, step=step,
-                                 offset=offsets[i]))
+                                 offset=offsets[i]).astype(Kz[i].dtype))
         b = [x_new[i] + u[i] for i in range(len(self.psi_fns))]
         z = self.least_square.solve(b, rho, params=params,
                                     var_shapes=self._var_shapes(z))

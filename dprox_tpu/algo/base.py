@@ -130,7 +130,9 @@ class Algorithm:
         (reference: base.py:85-126 — here the loop is a jitted lax.scan
         unless a Python ``callback`` is requested.)
         """
-        x0 = to_jax_array(x0, batch=True).astype(jnp.float32)
+        x0 = to_jax_array(x0, batch=True)
+        # keep complex states (CSMRI) complex; standardize reals to f32
+        x0 = x0.astype(jnp.complex64 if jnp.iscomplexobj(x0) else jnp.float32)
         rhos, lam_list = self.defaults(rhos, lams, max_iter)
         params = dict(params) if params else {}
 

@@ -16,7 +16,8 @@ class HQS(ADMM):
                                     var_shapes=self._var_shapes(x))
         Kx = self.K_forward(x, params)
         z_new = tuple(
-            fn.prox(Kx[i], lam[i], params=params, step=step, offset=offsets[i])
+            fn.prox(Kx[i], lam[i], params=params, step=step,
+                    offset=offsets[i]).astype(Kx[i].dtype)
             for i, fn in enumerate(self.psi_fns)
         )
         return (x, z_new)

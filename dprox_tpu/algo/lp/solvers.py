@@ -1,0 +1,312 @@
+"""Learnable OSQP-style LP ADMM solver.
+
+Counterpart of /root/reference/dprox/algo/lp/solvers.py. The iteration
+
+    xtilde <- PCG((rho A^T A + sigma I), sigma x - c + A^T(rho z - y))
+    x <- alpha xtilde + (1-alpha) x;  ztilde relaxed;  z = clip(., lb, ub)
+    y <- y + rho (ztilde - z)
+
+runs as jitted chunks of ``eval_freq`` iterations (lax.scan over a
+Jacobi-preconditioned warm-started PCG); residual evaluation, early
+stopping and residual-balancing rho adaptation happen between chunks on
+the host, exactly mirroring the reference's cadence (solvers.py:194-236).
+Hyperparameters (rho, log sigma, alpha, gamma multipliers) are a params
+pytree optimized by Adam on the log-residual convergence loss
+(solvers.py:13-23) before the final solve.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from ...linalg.solvers import pcg as batched_pcg
+from .utils import ruiz_equilibration_sparse, scipy_to_bcoo
+
+
+def _vec_norm(x, ord=jnp.inf):
+    return jnp.linalg.norm(x.ravel(), ord=ord)
+
+
+class LPConvergenceLoss:
+    """loss = log(r/eps_p) + log(s/eps_d) (reference: solvers.py:13-23)."""
+
+    def __call__(self, r_norm, s_norm, eps_primal, eps_dual):
+        # clamp: a residual that is already ~0 must not produce -inf/NaN grads
+        rp = jnp.maximum(r_norm / eps_primal, 1e-12)
+        sd = jnp.maximum(s_norm / eps_dual, 1e-12)
+        return jnp.log(rp) + jnp.log(sd)
+
+
+class LPProblem:
+    """Preprocessed LP: stack [A_ub; A_eq; I], Ruiz-equilibrate, build
+    BCOO operators and bounds (reference: solvers.py:26-95)."""
+
+    def __init__(self, c, A_ub, b_ub, A_eq, b_eq, x_lb=None, x_ub=None,
+                 dtype=jnp.float64):
+        n = c.shape[0]
+        self.dtype = dtype
+        if x_lb is None:
+            x_lb = np.zeros(n)
+        if x_ub is None:
+            x_ub = np.full(n, np.inf)
+        A_ub = sp.csr_matrix(A_ub) if A_ub is not None else sp.csr_matrix((0, n))
+        A_eq = sp.csr_matrix(A_eq) if A_eq is not None else sp.csr_matrix((0, n))
+        b_ub = np.zeros(0) if b_ub is None else np.asarray(b_ub).ravel()
+        b_eq = np.zeros(0) if b_eq is None else np.asarray(b_eq).ravel()
+        self.m_ub, self.m_eq, self.n = A_ub.shape[0], A_eq.shape[0], n
+
+        A = sp.vstack([A_ub, A_eq, sp.eye(n)])
+        d, e, gamma_c, gamma_b, A_bar, Acnorm = ruiz_equilibration_sparse(
+            A, np.asarray(c, np.float64), np.concatenate([b_ub, b_eq, x_ub]))
+        self.A, self.AT = scipy_to_bcoo(A_bar, dtype)
+        self.d = jnp.asarray(d, dtype)
+        self.e = jnp.asarray(e, dtype)
+        self.gamma_c = gamma_c
+        self.gamma_b = gamma_b
+        self.Acnorm = jnp.asarray(Acnorm, dtype)
+        self.c = jnp.asarray(np.asarray(c).ravel(), dtype)
+        lb = np.concatenate([np.full(self.m_ub, -np.inf), b_eq, x_lb])
+        ub = np.concatenate([b_ub, b_eq, x_ub])
+        self.lb = jnp.asarray(lb, dtype)
+        self.ub = jnp.asarray(ub, dtype)
+
+    @property
+    def problem_scale(self):
+        return self.A.shape
+
+
+class LPSolverADMM:
+    """(reference: solvers.py:98-336)"""
+
+    def __init__(self, rho: float = 1.0, abstol: float = 1e-4,
+                 reltol: float = 1e-3, max_iters: int = 20000,
+                 dtype=jnp.float64, verbose: bool = True):
+        self.abstol = abstol
+        self.reltol = reltol
+        self.max_iters = max_iters
+        self.dtype = dtype
+        self.verbose = verbose
+        self.rho0 = rho
+
+    def init_params(self):
+        d = self.dtype
+        return {
+            "rho": jnp.asarray(self.rho0, d),
+            "sigma_log": jnp.asarray(np.log(1e-6), d),
+            "alpha": jnp.asarray(1.6, d),
+            "gamma_c_mul": jnp.asarray(1.0, d),
+            "gamma_b_mul": jnp.asarray(1.0, d),
+        }
+
+    # ------------------------------------------------------------------ #
+
+    def _prepare(self, p: LPProblem, params):
+        gamma_c = params["gamma_c_mul"] * p.gamma_c
+        gamma_b = params["gamma_b_mul"] * p.gamma_b
+        c = gamma_c * (p.d * p.c)
+        # mask infinities BEFORE scaling: inf * gamma inside the untaken
+        # where-branch poisons gradients with NaNs
+        lb_inf = jnp.isinf(p.lb)
+        ub_inf = jnp.isinf(p.ub)
+        lb = jnp.where(lb_inf, p.lb, jnp.where(lb_inf, 0.0, p.lb) * gamma_b * p.e)
+        ub = jnp.where(ub_inf, p.ub, jnp.where(ub_inf, 0.0, p.ub) * gamma_b * p.e)
+        return c, lb, ub, gamma_c, gamma_b
+
+    def solve(self, problem: LPProblem, params: Optional[dict] = None,
+              max_iters: Optional[int] = None, eval_freq: int = 25,
+              residual_balance: bool = False, pcg_iters: int = 1000,
+              differentiable: bool = False, unroll_pcg_iters: int = 20):
+        """Run the ADMM loop; returns (x, history, results)."""
+        params = params if params is not None else self.init_params()
+        max_iters = max_iters or self.max_iters
+        p = problem
+        dt = self.dtype
+        m, n = p.problem_scale
+        A, AT = p.A, p.AT
+
+        rho = params["rho"]
+        sigma = jnp.exp(params["sigma_log"])
+        alpha = params["alpha"]
+        c, lb, ub, gamma_c, gamma_b = self._prepare(p, params)
+
+        x = jnp.zeros(n, dt)
+        z = jnp.zeros(m, dt)
+        y = jnp.zeros(m, dt)
+        xtilde = jnp.zeros(n, dt)
+
+        rtols = np.logspace(-6, -10, 10000)
+        history = defaultdict(list)
+
+        def one_iter(carry, rtol, rho):
+            x, z, y, xtilde = carry
+            right = sigma * x - c + (AT @ (rho * z - y))
+
+            def KtK(v):  # batched interface: [1, n]
+                return (AT @ (rho * (A @ v[0])) + sigma * v[0])[None]
+
+            M = (sigma + rho * (p.Acnorm**2))[None]
+            if differentiable:
+                from ...linalg.solvers import cg_unrolled
+
+                xt = cg_unrolled(KtK, right[None], x0=xtilde[None],
+                                 rtol=1e-12, max_iters=unroll_pcg_iters)[0]
+            else:
+                xt = batched_pcg(KtK, right[None], Minv=lambda r: r / M,
+                                 x0=xtilde[None], rtol=rtol,
+                                 max_iters=pcg_iters)[0]
+            zt = A @ xt
+            x = alpha * xt + (1 - alpha) * x
+            zt = alpha * zt + (1 - alpha) * z
+            z = jnp.clip(zt + y / rho, lb, ub)
+            y = y + rho * (zt - z)
+            return (x, z, y, xt)
+
+        @partial(jax.jit, static_argnames=("steps",))
+        def run_chunk(carry, rho, rtol_chunk, steps):
+            def body(carry, rtol):
+                return one_iter(carry, rtol, rho), None
+
+            carry, _ = jax.lax.scan(body, carry, rtol_chunk[:steps])
+            return carry
+
+        carry = (x, z, y, xtilde)
+        k = 0
+        results = None
+        while k < max_iters:
+            steps = min(eval_freq, max_iters - k)
+            chunk_rtols = jnp.asarray(
+                [rtols[min(k + i, 9999)] for i in range(steps)], dt)
+            carry = run_chunk(carry, rho, chunk_rtols, steps)
+            k += steps
+            x, z, y, xtilde = carry
+            objval, r_norm, s_norm, eps_p, eps_d = self.eval_result(
+                p, c, gamma_c, gamma_b, x, z, y)
+            history["r_norm"].append(float(r_norm))
+            history["s_norm"].append(float(s_norm))
+            history["eps_primal"].append(float(eps_p))
+            history["eps_dual"].append(float(eps_d))
+            history["objval"].append(float(objval))
+
+            if residual_balance and k % 1000 == 0:
+                if r_norm > 10 * eps_p or eps_d > 10 * s_norm:
+                    rho = rho * 2
+                elif s_norm > 10 * eps_d or eps_p > 10 * r_norm:
+                    rho = rho / 2
+
+            if self.verbose and k % 1000 < eval_freq:
+                print(f"k={k} obj={float(objval):.4e} r={float(r_norm):.2e} "
+                      f"s={float(s_norm):.2e} eps_p={float(eps_p):.2e} "
+                      f"eps_d={float(eps_d):.2e} rho={float(rho):.2e}")
+            if r_norm < eps_p and s_norm < eps_d:
+                break
+
+        results = (objval, r_norm, s_norm, eps_p, eps_d)
+        x_out = x * p.d / gamma_b
+        return x_out, history, results
+
+    def solve_truncated(self, problem: LPProblem, params, iters: int = 10,
+                        unroll_pcg_iters: int = 20):
+        """Differentiable truncated solve for hyperparameter pretraining;
+        returns the convergence-loss ingredients."""
+        p = problem
+        dt = self.dtype
+        m, n = p.problem_scale
+        A, AT = p.A, p.AT
+        rho = params["rho"]
+        sigma = jnp.exp(params["sigma_log"])
+        alpha = params["alpha"]
+        c, lb, ub, gamma_c, gamma_b = self._prepare(p, params)
+
+        x = jnp.zeros(n, dt)
+        z = jnp.zeros(m, dt)
+        y = jnp.zeros(m, dt)
+        xtilde = jnp.zeros(n, dt)
+
+        from ...linalg.solvers import cg_unrolled
+
+        def body(carry, _):
+            x, z, y, xtilde = carry
+
+            def KtK(v):
+                return (AT @ (rho * (A @ v[0])) + sigma * v[0])[None]
+
+            right = sigma * x - c + (AT @ (rho * z - y))
+            xt = cg_unrolled(KtK, right[None], x0=xtilde[None], rtol=1e-12,
+                             max_iters=unroll_pcg_iters)[0]
+            zt = A @ xt
+            x = alpha * xt + (1 - alpha) * x
+            zt = alpha * zt + (1 - alpha) * z
+            z = jnp.clip(zt + y / rho, lb, ub)
+            y = y + rho * (zt - z)
+            return (x, z, y, xt), None
+
+        (x, z, y, xtilde), _ = jax.lax.scan(body, (x, z, y, xtilde), None,
+                                            length=iters)
+        _, r_norm, s_norm, eps_p, eps_d = self.eval_result(
+            p, c, gamma_c, gamma_b, x, z, y)
+        return r_norm, s_norm, eps_p, eps_d
+
+    def eval_result(self, p: LPProblem, c, gamma_c, gamma_b, x, z, y):
+        """(reference: solvers.py:324-336)"""
+        A, AT = p.A, p.AT
+        objval = jnp.dot(c / p.d / gamma_c, x * p.d / gamma_b)
+        Ax = A @ x
+        ATy = AT @ y
+        r_norm = _vec_norm((Ax - z) / p.e / gamma_b)
+        s_norm = _vec_norm((c + ATy) / p.d / gamma_c)
+        eps_p = self.abstol + self.reltol * jnp.maximum(
+            _vec_norm(Ax / p.e / gamma_b), _vec_norm(z / p.e / gamma_b))
+        eps_d = self.abstol + self.reltol * jnp.maximum(
+            _vec_norm(ATy / p.d / gamma_c), _vec_norm(c / p.d / gamma_c))
+        return objval, r_norm, s_norm, eps_p, eps_d
+
+
+def solve_lp(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None,
+             max_iters: int = 20000, pretrain_steps: int = 10,
+             pretrain_lr: float = 1e-2, abstol: float = 1e-4,
+             reltol: float = 1e-3, residual_balance: bool = True,
+             verbose: bool = True, dtype=None, **kwargs):
+    """End-to-end LP solve with hyperparameter pretraining
+    (reference: algo/problem.py:91-121: 10 Adam steps on
+    LPConvergenceLoss, then the full solve)."""
+    import optax
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    problem = LPProblem(c, A_ub, b_ub, A_eq, b_eq, dtype=dtype)
+    solver = LPSolverADMM(abstol=abstol, reltol=reltol, max_iters=max_iters,
+                          dtype=dtype, verbose=verbose)
+    params = solver.init_params()
+    loss_fn = LPConvergenceLoss()
+
+    if pretrain_steps > 0:
+        tx = optax.adam(pretrain_lr)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss(pp):
+                r, s, ep, ed = solver.solve_truncated(problem, pp, iters=10)
+                return loss_fn(r, s, ep, ed)
+
+            val, g = jax.value_and_grad(loss)(params)
+            updates, opt_state = tx.update(g, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, val
+
+        for i in range(pretrain_steps):
+            params, opt_state, val = step(params, opt_state)
+            if verbose:
+                print(f"[lp-pretrain] step {i} loss {float(val):.4f} "
+                      f"rho {float(params['rho']):.3e}")
+
+    x, history, results = solver.solve(problem, params, max_iters=max_iters,
+                                       residual_balance=residual_balance)
+    return x, history, results

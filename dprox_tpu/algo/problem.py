@@ -82,9 +82,9 @@ class LPProblem:
 
         from .lp import LPSolverADMM, solve_lp
 
-        A_ub = sp.vstack(self.A_ub) if self.A_ub else None
+        A_ub = sp.vstack([sp.csr_matrix(a) for a in self.A_ub]) if self.A_ub else None
         b_ub = np.concatenate([np.asarray(b).ravel() for b in self.b_ub]) if self.b_ub else None
-        A_eq = sp.vstack(self.A_eq) if self.A_eq else None
+        A_eq = sp.vstack([sp.csr_matrix(a) for a in self.A_eq]) if self.A_eq else None
         b_eq = np.concatenate([np.asarray(b).ravel() for b in self.b_eq]) if self.b_eq else None
         c = np.asarray(self.c).ravel()
         return solve_lp(c, A_ub, b_ub, A_eq, b_eq, max_iters=max_iters,

@@ -1,0 +1,11 @@
+from .doe_model import (
+    DOEModelConfig,
+    HeightMap,
+    RGBCollimator,
+    FresnelPropagator,
+    build_doe_model,
+    build_baseline_profile,
+    img_psf_conv,
+    area_downsampling,
+    get_coordinate,
+)

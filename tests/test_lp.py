@@ -1,0 +1,74 @@
+"""LP solver: small LPs with known optima + the synthetic CEP model."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.optimize import linprog
+
+import jax
+
+
+@pytest.fixture(autouse=True, scope="module")
+def enable_x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+def test_small_lp_matches_scipy():
+    # min c^T x s.t. A_ub x <= b_ub, A_eq x == b_eq, x >= 0
+    rng = np.random.RandomState(0)
+    n = 20
+    c = rng.rand(n) + 0.1
+    A_ub = sp.csr_matrix(rng.rand(10, n))
+    b_ub = A_ub @ (rng.rand(n)) + 0.5
+    A_eq = sp.csr_matrix(rng.rand(3, n))
+    x_feas = rng.rand(n)
+    b_eq = A_eq @ x_feas
+
+    ref = linprog(c, A_ub.toarray(), b_ub, A_eq.toarray(), b_eq,
+                  bounds=[(0, None)] * n, method="highs")
+    assert ref.success
+
+    from dprox_tpu.algo.lp import solve_lp
+
+    x, history, results = solve_lp(c, A_ub, b_ub, A_eq, b_eq,
+                                   max_iters=5000, pretrain_steps=5,
+                                   verbose=False)
+    obj = float(np.dot(c, np.asarray(x)))
+    assert abs(obj - ref.fun) / max(abs(ref.fun), 1) < 5e-2
+    # feasibility
+    assert float((A_ub @ np.asarray(x) - b_ub).max()) < 1e-2
+    assert float(np.abs(A_eq @ np.asarray(x) - b_eq).max()) < 1e-2
+    assert float(np.asarray(x).min()) > -1e-2
+
+
+def test_synthetic_cep_model():
+    from dprox_tpu.contrib.energy_system import synthetic_cep_model
+    from dprox_tpu.algo.lp import solve_lp
+
+    c, A_ub, A_eq, b_ub, b_eq = synthetic_cep_model(n_periods=16, n_tech=4)
+    ref = linprog(c, A_ub.toarray(), b_ub, A_eq.toarray(), b_eq,
+                  bounds=[(0, None)] * c.shape[0], method="highs")
+    assert ref.success
+    x, history, results = solve_lp(c, A_ub, b_ub, A_eq, b_eq,
+                                   max_iters=8000, pretrain_steps=5,
+                                   verbose=False)
+    obj = float(np.dot(c, np.asarray(x)))
+    assert abs(obj - ref.fun) / abs(ref.fun) < 5e-2
+
+
+def test_problem_dispatches_lp():
+    import dprox_tpu as dp
+
+    rng = np.random.RandomState(1)
+    n = 10
+    c = rng.rand(n) + 0.1
+    A = rng.rand(4, n)
+    x_feas = rng.rand(n)
+    b = A @ x_feas
+
+    x = dp.Variable()
+    prob = dp.Problem(c @ x, [A @ x == b])
+    sol, history, results = prob.solve(max_iters=3000, pretrain_steps=3,
+                                       verbose=False)
+    assert np.abs(A @ np.asarray(sol) - b).max() < 5e-2

@@ -1,0 +1,105 @@
+"""DOE optics model: PSF simulation + bi-level differentiability."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import dprox_tpu as dp
+from dprox_tpu.contrib.optic import (DOEModelConfig, build_baseline_profile,
+                                     build_doe_model, img_psf_conv)
+
+
+def small_config():
+    return DOEModelConfig(patch_size=32, wave_resolution=(64, 64),
+                          sample_interval=2e-6 * 1496 / 64)
+
+
+def test_psf_simulation():
+    model = build_doe_model(small_config())
+    params = model.init_params()
+    psf = model.get_psf(params)
+    assert psf.shape == (1, 3, 32, 32)
+    assert np.isclose(float(psf.sum()), 1.0, atol=1e-5)
+    assert (np.asarray(psf) >= 0).all()
+
+
+def test_baseline_profile():
+    model = build_doe_model(small_config())
+    prof = build_baseline_profile(model)
+    assert prof.shape == (1, 3, 64, 64)
+    assert np.allclose(np.abs(np.asarray(prof)), 1.0, atol=1e-5)
+
+
+def test_img_psf_conv_linear_and_circular():
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 3, 32, 32).astype(np.float32))
+    psf = jnp.asarray(rng.rand(1, 3, 5, 5).astype(np.float32))
+    psf = psf / psf.sum()
+    out_c = img_psf_conv(img, psf, circular=True)
+    out_l = img_psf_conv(img, psf, circular=False)
+    assert out_c.shape == img.shape and out_l.shape == img.shape
+
+
+def test_bilevel_training_step():
+    """End-to-end optics: PSF from height map -> conv_doe data term ->
+    unrolled ADMM -> gradient to the DOE height map (the e2e_optics flow,
+    reference examples/.../e2e_optics_dprox.py:24-63)."""
+    model = build_doe_model(small_config())
+    doe_params = model.init_params()
+
+    x = dp.Variable()
+    psf_ph = dp.Placeholder("psf")
+    y_ph = dp.Placeholder("y")
+    data = dp.sum_squares(dp.conv_doe(x, psf_ph, circular=True), b=y_ph)
+    reg = dp.nonneg(x)
+    solver = dp.compile([data, reg], method="admm")
+
+    rng = np.random.RandomState(0)
+    gt = jnp.asarray(rng.rand(1, 3, 32, 32).astype(np.float32))
+
+    def step(dparams):
+        psf = model.get_psf(dparams)
+        inp = img_psf_conv(gt, psf, circular=True)
+        out = solver.solve(x0=inp, max_iter=3, rhos=0.1, lams=0.05,
+                           params={"psf": psf, "y": inp})
+        return jnp.mean((out - gt) ** 2)
+
+    loss, g = jax.value_and_grad(step)(doe_params)
+    assert np.isfinite(float(loss))
+    gsum = float(jnp.abs(g["height_map_sqrt"]).sum())
+    assert np.isfinite(gsum) and gsum > 0
+
+
+def test_csmri_custom_admm():
+    from dprox_tpu.contrib import csmri as C
+
+    s = C.generate_sample(size=64, num_lines=30)
+    x = dp.Variable()
+    y_ph = dp.Placeholder("y")
+    mask_ph = dp.Placeholder("mask", batch=False)
+    data = dp.csmri(x, mask_ph, y_ph)
+    reg = dp.deep_prior(x, "tv")
+    solver = dp.compile([data, reg], method="admm")
+    assert not isinstance(solver.least_square, dp.least_squares)  # fused path
+    from dprox_tpu.utils import metrics
+
+    x0 = jnp.asarray(s["x0"])
+    out = solver.solve(x0=x0, max_iter=8, rhos=0.2, lams=0.05,
+                       params={"y": s["params"]["y"], "mask": s["params"]["mask"]})
+    out = np.real(np.asarray(out))
+    p_in = metrics.psnr(np.real(s["x0"]), s["gt"])
+    p_out = metrics.psnr(out, s["gt"])
+    assert np.isfinite(p_out)
+    assert p_out > p_in  # reconstruction must improve over zero-filled
+
+
+def test_derain_learnable_deg_op():
+    from dprox_tpu.contrib.derain import LearnableDegOp
+
+    deg = LearnableDegOp()
+    x = dp.Variable()
+    op = deg.as_linop(x)
+    v = jnp.asarray(np.random.RandomState(0).rand(1, 3, 16, 16).astype(np.float32))
+    out = dp.linop.eval(op, v, params={"deg_op": deg.params, "__step__": 0})
+    assert out.shape == v.shape
+    back = dp.linop.adjoint(op, out, params={"deg_op": deg.params, "__step__": 0})
+    assert back.shape == v.shape

@@ -47,17 +47,18 @@ class ADMM(Algorithm):
         u = tuple(jnp.zeros_like(e) for e in v)
         return (x, v, u)
 
-    def _iter(self, state, rho, lam, step, params, offsets):
+    def _iter(self, state, rho, lam, step, params, aux):
         x, v, u = state
         b = [v[i] - u[i] for i in range(len(self.psi_fns))]
         x = self.least_square.solve(b, rho, params=params,
-                                    var_shapes=self._var_shapes(x))
+                                    var_shapes=self._var_shapes(x),
+                                    prepared=aux.lsq)
 
         Kx = self.K_forward(x, params)
         v_new, u_new = [], []
         for i, fn in enumerate(self.psi_fns):
             vi = fn.prox(Kx[i] + u[i], lam[i], params=params, step=step,
-                         offset=offsets[i])
+                         offset=aux.offsets[i])
             vi = vi.astype(Kx[i].dtype)  # keep carry dtype stable (CSMRI)
             v_new.append(vi)
             u_new.append(u[i] + Kx[i] - vi)
@@ -76,7 +77,7 @@ class LinearizedADMM(ADMM):
     """x-update linearized around the current iterate
     (reference: admm.py:78-100)."""
 
-    def _iter(self, state, rho, lam, step, params, offsets):
+    def _iter(self, state, rho, lam, step, params, aux):
         x, v, u = state
         b = []
         for i, fn in enumerate(self.psi_fns):
@@ -84,13 +85,14 @@ class LinearizedADMM(ADMM):
             tmp = fn.dag_adjoint(tmp, params)
             b.append(x - tmp)
         x = self.least_square.solve(b, rho, params=params,
-                                    var_shapes=self._var_shapes(x))
+                                    var_shapes=self._var_shapes(x),
+                                    prepared=aux.lsq)
 
         Kx = self.K_forward(x, params)
         v_new, u_new = [], []
         for i, fn in enumerate(self.psi_fns):
             vi = fn.prox(Kx[i] + u[i], lam[i], params=params, step=step,
-                         offset=offsets[i])
+                         offset=aux.offsets[i])
             vi = vi.astype(Kx[i].dtype)
             v_new.append(vi)
             u_new.append(u[i] + Kx[i] - vi)
@@ -100,15 +102,16 @@ class LinearizedADMM(ADMM):
 class ADMM_vxu(ADMM):
     """Prox-first iteration order (reference: admm.py:103-120)."""
 
-    def _iter(self, state, rho, lam, step, params, offsets):
+    def _iter(self, state, rho, lam, step, params, aux):
         z, x, u = state
         Kz = self.K_forward(z, params)
         x_new = []
         for i, fn in enumerate(self.psi_fns):
             x_new.append(fn.prox(Kz[i] - u[i], lam[i], params=params, step=step,
-                                 offset=offsets[i]).astype(Kz[i].dtype))
+                                 offset=aux.offsets[i]).astype(Kz[i].dtype))
         b = [x_new[i] + u[i] for i in range(len(self.psi_fns))]
         z = self.least_square.solve(b, rho, params=params,
-                                    var_shapes=self._var_shapes(z))
+                                    var_shapes=self._var_shapes(z),
+                                    prepared=aux.lsq)
         u_new = tuple(u[i] + x_new[i] - z for i in range(len(self.psi_fns)))
         return (z, tuple(x_new), u_new)

@@ -22,11 +22,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from typing import NamedTuple, Any
+
 from ..linop.base import Params
 from ..proxfn.base import ProxFn
 from ..utils.misc import to_jax_array
 
 Array = jnp.ndarray
+
+
+class IterAux(NamedTuple):
+    """Iteration-invariant values hoisted out of the solver loop:
+    per-psi-fn offsets and the least-squares ``prepare`` pytree."""
+
+    offsets: Any
+    lsq: Any = None
 
 
 def _isscalar(x):
@@ -89,6 +99,16 @@ class Algorithm:
         var_shapes = self._var_shapes(x0)
         return [fn.offset(var_shapes, params) for fn in self.psi_fns]
 
+    def prepare_aux(self, x0: Array, params: Optional[Params]) -> IterAux:
+        """Compute everything iteration-invariant once per solve."""
+        offsets = tuple(self.psi_offsets(x0, params))
+        lsq = None
+        ls = getattr(self, "least_square", None)
+        if ls is not None and hasattr(ls, "prepare"):
+            lsq = ls.prepare(self._var_shapes(x0), params,
+                             ref_shape=tuple(x0.shape))
+        return IterAux(offsets=offsets, lsq=lsq)
+
     def _var_shapes(self, x0: Array):
         names = set()
         for fn in self.psi_fns + self.omega_fns:
@@ -138,7 +158,7 @@ class Algorithm:
 
         if callback is not None or not jit:
             state = self.initialize(x0, params)
-            offsets = self.psi_offsets(x0, params)
+            offsets = self.prepare_aux(x0, params)
             for it in range(max_iter):
                 rho = rhos[it]
                 lam = [l[it] for l in lam_list]
@@ -157,7 +177,7 @@ class Algorithm:
         action_pack inner loop; reference: base.py:128-156)."""
         params = params or {}
         if offsets is None:
-            offsets = self.psi_offsets(x_ref if x_ref is not None else state[0], params)
+            offsets = self.prepare_aux(x_ref if x_ref is not None else state[0], params)
         rhos, lam_tuple = self.defaults(rhos, lam_list, max_iter)
 
         def body(st, xs):
@@ -179,7 +199,7 @@ class Algorithm:
 
             def _run(x0, rhos, lam_list, params):
                 state = self.initialize(x0, params)
-                offsets = self.psi_offsets(x0, params)
+                offsets = self.prepare_aux(x0, params)
 
                 if unrolled:
                     # stateful proxfns (DGUNet-style carry) need concrete

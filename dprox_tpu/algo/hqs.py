@@ -10,14 +10,15 @@ class HQS(ADMM):
         z = tuple(self.K_forward(x, params))
         return (x, z)
 
-    def _iter(self, state, rho, lam, step, params, offsets):
+    def _iter(self, state, rho, lam, step, params, aux):
         x, z = state
         x = self.least_square.solve(list(z), rho, params=params,
-                                    var_shapes=self._var_shapes(x))
+                                    var_shapes=self._var_shapes(x),
+                                    prepared=aux.lsq)
         Kx = self.K_forward(x, params)
         z_new = tuple(
             fn.prox(Kx[i], lam[i], params=params, step=step,
-                    offset=offsets[i]).astype(Kx[i].dtype)
+                    offset=aux.offsets[i]).astype(Kx[i].dtype)
             for i, fn in enumerate(self.psi_fns)
         )
         return (x, z_new)

@@ -42,7 +42,7 @@ class PockChambolle(ADMM):
         z = tuple(jnp.zeros_like(e) for e in self.K_forward(x, params))
         return (x, z, x)
 
-    def _iter(self, state, rho, lam, step, params, offsets):
+    def _iter(self, state, rho, lam, step, params, aux):
         x, z, xbar = state
 
         Kxbar = self.K_forward(xbar, params)
@@ -52,7 +52,7 @@ class PockChambolle(ADMM):
             w = z[i] + sigma * Kxbar[i]
             z_new.append(w - sigma * fn.prox(w / sigma, 1.0 / lam[i],
                                              params=params, step=step,
-                                             offset=offsets[i]))
+                                             offset=aux.offsets[i]))
 
         Ktz = 0.0
         for i, fn in enumerate(self.psi_fns):
@@ -66,7 +66,8 @@ class PockChambolle(ADMM):
                 x_next = self.least_square.solve([v], rho, params=params)
             else:
                 x_next = self.least_square.solve([], rho, v=v, params=params,
-                                                 var_shapes=self._var_shapes(x))
+                                                 var_shapes=self._var_shapes(x),
+                                                 prepared=aux.lsq)
         else:
             x_next = v
 

@@ -36,11 +36,11 @@ class ProximalGradientDescent(Algorithm):
     def initialize(self, x0, params):
         return (x0,)
 
-    def _iter(self, state, rho, lam, step, params, offsets):
+    def _iter(self, state, rho, lam, step, params, aux):
         (x,) = state
         v = x - expand_to_bchw(jnp.asarray(rho)) * self.diff_fn.grad(x, params)
         x = self.prox_fn.prox(v, lam[0], params=params, step=step,
-                              offset=offsets[0])
+                              offset=aux.offsets[0])
         return (x,)
 
     @property

@@ -95,14 +95,14 @@ class DEQSolver:
         solver = self.internal
         state0 = solver.initialize(x0, params)
         z0 = solver.pack(state0)
-        offsets = solver.psi_offsets(x0, params)
+        aux = solver.prepare_aux(x0, params)
         shapes = [jax.tree.map(lambda a: a.shape, s) for s in state0]
 
         def f(theta, z):
             rho_, lam_, params_ = theta
             state = solver.unpack(z)
             state = solver._iter(tuple(state), rho_, list(lam_), 0, params_,
-                                 offsets)
+                                 aux)
             return solver.pack(state)
 
         z_star = deq_fixed_point(f, (rho, tuple(lam), params), z0,

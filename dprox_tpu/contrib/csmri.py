@@ -140,7 +140,7 @@ class CustomADMM(ADMM):
     """Prox-first iteration order used for CSMRI
     (reference: csmri.py:156-171)."""
 
-    def _iter(self, state, rho, lam, step, params, offsets):
+    def _iter(self, state, rho, lam, step, params, aux):
         x, z, u = state
         z0 = z[0]
         x_new = []
@@ -148,11 +148,12 @@ class CustomADMM(ADMM):
             # prox outputs are real (denoisers act on the real part);
             # cast back so the scan carry dtype stays stable
             xi = fn.prox(z0 - u[i], lam[i], params=params, step=step,
-                         offset=offsets[i])
+                         offset=aux.offsets[i])
             x_new.append(xi.astype(z0.dtype))
         b = [x_new[i] + u[i] for i in range(len(self.psi_fns))]
         z_new = self.least_square.solve(b, rho, params=params,
                                         var_shapes=self._var_shapes(z0))
+        # (fused ext solves have no prepare step)
         u_new = tuple(u[i] + x_new[i] - z_new for i in range(len(self.psi_fns)))
         return (x_new[0], (z_new,), u_new)
 

@@ -80,7 +80,7 @@ class ext_sum_squares(sum_squares):
         return self
 
     def solve(self, vs: Sequence[Array], rho, params: Optional[Params] = None,
-              var_shapes=None) -> Array:
+              var_shapes=None, prepared=None) -> Array:
         xtilde = 0.0
         for v in vs:
             xtilde = xtilde + v
@@ -153,6 +153,35 @@ class least_squares(ProxFn):
     def _prox(self, v, lam, params=None, step=None):
         return self.solve([], lam, v=v, params=params)
 
+    # -- iteration-invariant precomputation ----------------------------- #
+
+    def prepare(self, var_shapes, params=None, ref_shape=None):
+        """Hoist iteration-invariant work out of the solver loop.
+
+        K^T b of the quadratic terms and all gram diagonals do not depend
+        on (rho, v, b_list); recomputing them per iteration costs 2+ FFTs
+        each (the reference pays this every iteration,
+        sum_square.py:123-156). Returns a pytree passed back via
+        ``solve(..., prepared=...)``.
+        """
+        Ktb_quad = 0.0
+        for fn in self.quad_fns:
+            off = fn.offset(var_shapes, params)
+            Ktb_quad = Ktb_quad + fn.dag_adjoint(off, params)
+        prepared = {"Ktb_quad": Ktb_quad}
+        if self.diagonalizable or self.freq_diagonalizable:
+            freq = self.freq_diagonalizable
+            shape = ref_shape if ref_shape is not None else jnp.shape(Ktb_quad)
+            diag_quad = 0.0
+            for fn in self.quad_fns:
+                diag_quad = diag_quad + fn.linop.gram_diag(shape, params, freq)
+            diag_psi = 0.0
+            for fn in self.other_fns:
+                diag_psi = diag_psi + fn.linop.gram_diag(shape, params, freq)
+            prepared["diag_quad"] = diag_quad
+            prepared["diag_psi"] = diag_psi
+        return prepared
+
     # -- helpers -------------------------------------------------------- #
 
     def _var_shapes(self, ref: Array, var_shapes=None):
@@ -180,26 +209,34 @@ class least_squares(ProxFn):
 
     def solve(self, b: Sequence[Array], rho, v: Optional[Array] = None,
               params: Optional[Params] = None, eps: float = 1e-7,
-              var_shapes=None) -> Array:
+              var_shapes=None, prepared=None) -> Array:
         rho = expand_to_bchw(jnp.asarray(rho, jnp.float32))
         if self.diagonalizable or self.freq_diagonalizable:
-            return self.solve_direct(b, rho, v, params, eps, var_shapes)
-        return self.solve_cg(b, rho, v, params, var_shapes)
+            return self.solve_direct(b, rho, v, params, eps, var_shapes, prepared)
+        return self.solve_cg(b, rho, v, params, var_shapes, prepared)
 
     def solve_direct(self, b, rho, v=None, params=None, eps: float = 1e-7,
-                     var_shapes=None) -> Array:
+                     var_shapes=None, prepared=None) -> Array:
         if var_shapes is None:
             ref = v if v is not None else (b[0] if b else None)
             assert ref is not None, "need b, v or var_shapes for shape inference"
             var_shapes = self._var_shapes(ref)
-        Ktb = self._ktb(b, rho, v, params, var_shapes)
-
         freq = self.freq_diagonalizable
-        diag = 0.0
-        for fn in self.quad_fns:
-            diag = diag + fn.linop.gram_diag(Ktb.shape, params, freq)
-        for fn in self.other_fns:
-            diag = diag + rho * fn.linop.gram_diag(Ktb.shape, params, freq)
+
+        if prepared is not None:
+            Ktb = prepared["Ktb_quad"]
+            for i, fn in enumerate(self.other_fns):
+                Ktb = Ktb + rho * fn.dag_adjoint(b[i], params)
+            if v is not None:
+                Ktb = Ktb + rho * v
+            diag = prepared["diag_quad"] + rho * prepared["diag_psi"]
+        else:
+            Ktb = self._ktb(b, rho, v, params, var_shapes)
+            diag = 0.0
+            for fn in self.quad_fns:
+                diag = diag + fn.linop.gram_diag(Ktb.shape, params, freq)
+            for fn in self.other_fns:
+                diag = diag + rho * fn.linop.gram_diag(Ktb.shape, params, freq)
         if v is not None:
             diag = diag + rho
 
@@ -210,11 +247,19 @@ class least_squares(ProxFn):
             out = Ktb / (diag + eps)
         return out.astype(jnp.float32)
 
-    def solve_cg(self, b, rho, v=None, params=None, var_shapes=None) -> Array:
+    def solve_cg(self, b, rho, v=None, params=None, var_shapes=None,
+                 prepared=None) -> Array:
         if var_shapes is None:
             ref = v if v is not None else b[0]
             var_shapes = self._var_shapes(ref)
-        Ktb = self._ktb(b, rho, v, params, var_shapes)
+        if prepared is not None:
+            Ktb = prepared["Ktb_quad"]
+            for i, fn in enumerate(self.other_fns):
+                Ktb = Ktb + rho * fn.dag_adjoint(b[i], params)
+            if v is not None:
+                Ktb = Ktb + rho * v
+        else:
+            Ktb = self._ktb(b, rho, v, params, var_shapes)
 
         with_v = v is not None
         quad_fns, other_fns = self.quad_fns, self.other_fns

@@ -51,14 +51,23 @@ class conv(LinOp):
             self._otf_cache[key] = np.asarray(otf, np.complex64)
         return self._otf_cache[key]
 
+    # NOTE: rfft half-spectrum variants were measured SLOWER than full
+    # complex FFTs on TPU v5e (0.034ms vs 0.026ms round trip @512^2) —
+    # the backend lowers rfft via a full FFT plus slicing. Keep full FFTs.
     def _forward(self, child_values, params):
         x = child_values[0]
         FB = self._otf(x.shape)
-        return jnp.real(_ifftn2(FB * _fftn2(x))).astype(x.dtype)
+        out = _ifftn2(FB * _fftn2(x))
+        if jnp.iscomplexobj(x):
+            return out
+        return jnp.real(out).astype(x.dtype)
 
     def _adjoint(self, y, params):
         FB = self._otf(y.shape)
-        return [jnp.real(_ifftn2(jnp.conj(FB) * _fftn2(y))).astype(y.dtype)]
+        out = _ifftn2(jnp.conj(FB) * _fftn2(y))
+        if jnp.iscomplexobj(y):
+            return [out]
+        return [jnp.real(out).astype(y.dtype)]
 
     def is_diag(self, freq: bool = False) -> bool:
         return freq and self.children[0].is_diag(freq)

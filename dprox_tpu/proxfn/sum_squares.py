@@ -241,6 +241,7 @@ class least_squares(ProxFn):
             diag = diag + rho
 
         if freq:
+            # full complex FFTs: measured faster than rfft on TPU v5e
             F = _fftn2(Ktb)
             out = jnp.real(_ifftn2((F + eps) / (diag + eps)))
         else:

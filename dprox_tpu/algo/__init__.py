@@ -7,3 +7,6 @@ from .problem import Problem, LPProblem
 from .primitives import SOLVERS, compile, specialize, optimize, train, visualize
 from .tune import log_descent, get_rho_sigma_admm
 from .absorb import absorb_all_linops
+from .equil import stochastic_equilibrate
+from . import lp
+from . import special

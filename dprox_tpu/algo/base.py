@@ -39,6 +39,45 @@ class IterAux(NamedTuple):
     lsq: Any = None
 
 
+_COMPLEX_TAG = "__complex_pair__"
+
+
+def encode_complex(tree):
+    """Replace complex leaves by {re, im} f32 pairs.
+
+    Complex arrays cannot cross the host<->device boundary on the axon
+    TPU backend (transfers are UNIMPLEMENTED); splitting at the jit
+    boundary and recombining inside the executable sidesteps this with
+    zero in-graph cost (lax.complex fuses)."""
+
+    def enc(x):
+        if hasattr(x, "dtype") and np.issubdtype(np.asarray(x).dtype if isinstance(x, np.ndarray) else x.dtype, np.complexfloating):
+            xr = np.asarray(x) if isinstance(x, np.ndarray) else x
+            if isinstance(xr, np.ndarray):
+                return {_COMPLEX_TAG + "re": np.real(xr).astype(np.float32),
+                        _COMPLEX_TAG + "im": np.imag(xr).astype(np.float32)}
+            return {_COMPLEX_TAG + "re": jnp.real(xr), _COMPLEX_TAG + "im": jnp.imag(xr)}
+        return x
+
+    return jax.tree.map(enc, tree)
+
+
+def decode_complex(tree):
+    """Inverse of encode_complex, used inside jit. Pairs are detected by
+    key structure (values may be tracers — never branch on them)."""
+
+    def is_pair(x):
+        return isinstance(x, dict) and (_COMPLEX_TAG + "re") in x
+
+    def dec(x):
+        if is_pair(x):
+            return jax.lax.complex(jnp.asarray(x[_COMPLEX_TAG + "re"]),
+                                   jnp.asarray(x[_COMPLEX_TAG + "im"]))
+        return x
+
+    return jax.tree.map(dec, tree, is_leaf=is_pair)
+
+
 def _isscalar(x):
     return np.isscalar(x) or (hasattr(x, "ndim") and getattr(x, "ndim", None) == 0)
 
@@ -144,31 +183,46 @@ class Algorithm:
     def solve(self, x0=None, rhos=None, lams=None, max_iter: int = 24,
               params: Optional[Params] = None, pbar: bool = False,
               callback: Optional[Callable] = None,
-              return_full_states: bool = False, jit: bool = True, **kwargs):
+              return_full_states: bool = False, jit: bool = True,
+              real_output: bool = False, **kwargs):
         """Run the solver; returns x* (or the full state trajectory).
 
         (reference: base.py:85-126 — here the loop is a jitted lax.scan
         unless a Python ``callback`` is requested.)
         """
-        x0 = to_jax_array(x0, batch=True)
-        # keep complex states (CSMRI) complex; standardize reals to f32
-        x0 = x0.astype(jnp.complex64 if jnp.iscomplexobj(x0) else jnp.float32)
+        # complex inputs stay host-side numpy until the jit boundary:
+        # complex host<->device transfers are unimplemented on axon
+        if isinstance(x0, np.ndarray) and np.iscomplexobj(x0):
+            if x0.ndim == 3 and x0.shape[2] in (1, 3):
+                x0 = x0.transpose(2, 0, 1)
+            while x0.ndim < 4:
+                x0 = x0[None]
+            x0 = x0.astype(np.complex64)
+        else:
+            x0 = to_jax_array(x0, batch=True)
+            x0 = x0.astype(jnp.complex64 if jnp.iscomplexobj(x0) else jnp.float32)
         rhos, lam_list = self.defaults(rhos, lams, max_iter)
         params = dict(params) if params else {}
 
         if callback is not None or not jit:
+            x0 = decode_complex(encode_complex(x0))
+            params = decode_complex(encode_complex(params))
             state = self.initialize(x0, params)
             offsets = self.prepare_aux(x0, params)
             for it in range(max_iter):
                 rho = rhos[it]
                 lam = [l[it] for l in lam_list]
-                state = self._iter(state, rho, lam, jnp.int32(it), params, offsets)
+                p_it = dict(params, __step__=it)
+                state = self._iter(state, rho, lam, it, p_it, offsets)
                 if callback is not None:
                     callback(iter=it, state=state, rho=rho, lam=lam)
-            return state if return_full_states else state[0]
+            if return_full_states:
+                return state
+            out = state[0]
+            return jnp.real(out) if real_output else out
 
-        run = self._get_jitted(return_full_states)
-        state = run(x0, rhos, lam_list, params)
+        run = self._get_jitted(return_full_states, real_output)
+        state = run(encode_complex(x0), rhos, lam_list, encode_complex(params))
         return state if return_full_states else state[0]
 
     def iters(self, state, rhos, lam_list, max_iter: int,
@@ -182,7 +236,8 @@ class Algorithm:
 
         def body(st, xs):
             step, rho, lam = xs
-            return self._iter(st, rho, list(lam), step, params, offsets), None
+            p_it = dict(params, __step__=step)
+            return self._iter(st, rho, list(lam), step, p_it, offsets), None
 
         xs = (jnp.arange(max_iter), rhos, lam_tuple)
         state, _ = jax.lax.scan(body, state, xs)
@@ -192,12 +247,14 @@ class Algorithm:
         return any(getattr(fn, "stateful", False)
                    for fn in self.psi_fns + self.omega_fns)
 
-    def _get_jitted(self, return_full: bool):
-        key = ("run", return_full)
+    def _get_jitted(self, return_full: bool, real_output: bool = False):
+        key = ("run", return_full, real_output)
         if key not in self._jit_cache:
             unrolled = self._has_stateful()
 
             def _run(x0, rhos, lam_list, params):
+                x0 = decode_complex(x0)
+                params = decode_complex(params)
                 state = self.initialize(x0, params)
                 offsets = self.prepare_aux(x0, params)
 
@@ -207,22 +264,32 @@ class Algorithm:
                     traj = []
                     for it in range(rhos.shape[0]):
                         lam = [l[it] for l in lam_list]
-                        state = self._iter(state, rhos[it], lam, it, params,
-                                           offsets)
+                        state = self._iter(state, rhos[it], lam, it,
+                                           dict(params, __step__=it), offsets)
                         if return_full:
                             traj.append(state)
                     if return_full:
                         return jax.tree.map(lambda *xs: jnp.stack(xs), *traj)
+                    if real_output:
+                        # extract the real part inside this executable:
+                        # complex buffers cannot cross executables on the
+                        # axon backend
+                        return (jnp.real(state[0]),) + tuple(state[1:])
                     return state
 
                 def body(st, xs):
                     step, rho, lam = xs
-                    new = self._iter(st, rho, list(lam), step, params, offsets)
+                    p_it = dict(params, __step__=step)
+                    new = self._iter(st, rho, list(lam), step, p_it, offsets)
                     return new, (new if return_full else None)
 
                 xs = (jnp.arange(rhos.shape[0]), rhos, lam_list)
                 state, traj = jax.lax.scan(body, state, xs)
-                return traj if return_full else state
+                if return_full:
+                    return traj
+                if real_output:
+                    return (jnp.real(state[0]),) + tuple(state[1:])
+                return state
 
             self._jit_cache[key] = jax.jit(_run)
         return self._jit_cache[key]

@@ -297,15 +297,32 @@ def solve_lp(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None,
                 return loss_fn(r, s, ep, ed)
 
             val, g = jax.value_and_grad(loss)(params)
+            # robustness: drop non-finite gradients (truncated unrolled
+            # solves can blow up for bad hyperparameter regions)
+            g = jax.tree.map(lambda t: jnp.where(jnp.isfinite(t), t, 0.0), g)
             updates, opt_state = tx.update(g, opt_state)
             params = optax.apply_updates(params, updates)
+            # keep hyperparameters in their valid domains
+            params["rho"] = jnp.clip(params["rho"], 1e-6, 1e6)
+            params["alpha"] = jnp.clip(params["alpha"], 0.1, 1.95)
+            params["sigma_log"] = jnp.clip(params["sigma_log"], -30.0, 5.0)
+            params["gamma_c_mul"] = jnp.clip(params["gamma_c_mul"], 1e-3, 1e3)
+            params["gamma_b_mul"] = jnp.clip(params["gamma_b_mul"], 1e-3, 1e3)
             return params, opt_state, val
 
+        best = (None, np.inf)
         for i in range(pretrain_steps):
             params, opt_state, val = step(params, opt_state)
+            v = float(val)
+            if np.isfinite(v) and v < best[1]:
+                best = (jax.tree.map(lambda t: t, params), v)
             if verbose:
-                print(f"[lp-pretrain] step {i} loss {float(val):.4f} "
+                print(f"[lp-pretrain] step {i} loss {v:.4f} "
                       f"rho {float(params['rho']):.3e}")
+        if best[0] is not None:
+            params = best[0]
+        else:
+            params = solver.init_params()  # pretraining failed; fall back
 
     x, history, results = solver.solve(problem, params, max_iters=max_iters,
                                        residual_balance=residual_balance)

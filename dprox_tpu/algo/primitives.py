@@ -58,10 +58,16 @@ def optimize(prox_fns: List[ProxFn], merge=False, absorb=True):
     return prox_fns
 
 
-def visualize():
-    """Placeholder for graph visualization (reference stub,
-    primitives.py:110-112)."""
-    pass
+def visualize(prox_fns=None, filename=None):
+    """Render linop expression trees (the reference keeps a stub here,
+    primitives.py:110-112; we emit graphviz/text via linop.visualize)."""
+    from ..linop.visualize import visualize as _vis
+
+    if prox_fns is None:
+        return None
+    if not isinstance(prox_fns, list):
+        prox_fns = [prox_fns]
+    return "\n\n".join(_vis(fn.linop, filename) for fn in prox_fns)
 
 
 def train(solver=None, step_fn: Optional[Callable] = None, dataset=None,

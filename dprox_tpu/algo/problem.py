@@ -53,8 +53,10 @@ class Problem:
         self.prox_fns = optimize(self.raw_prox_fns, absorb=self.absorb)
         return self
 
-    def visualize(self):
-        pass
+    def visualize(self, filename=None):
+        from ..linop.visualize import visualize as _vis
+
+        return "\n\n".join(_vis(fn.linop, filename) for fn in self.prox_fns)
 
 
 class LPProblem:

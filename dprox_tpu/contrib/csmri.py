@@ -64,25 +64,37 @@ def shepp_logan(size: int = 128) -> np.ndarray:
 def generate_sample(size: int = 128, num_lines: int = 40, sigma: float = 0.0,
                     seed: int = 0):
     """Synthesize one CSMRI problem dict matching the reference's field
-    layout (csmri.py:96-109): y0, x0, ATy0, gt, mask, params."""
+    layout (csmri.py:96-109): y0, x0, ATy0, gt, mask, params.
+
+    Built host-side in numpy: complex device->host transfers are
+    unimplemented on the axon TPU backend, and this is data prep anyway.
+    """
+
+    def np_fft2c(x):
+        x = np.fft.ifftshift(x, axes=(-2, -1))
+        x = np.fft.fft2(x, norm="ortho")
+        return np.fft.fftshift(x, axes=(-2, -1))
+
+    def np_ifft2c(x):
+        x = np.fft.ifftshift(x, axes=(-2, -1))
+        x = np.fft.ifft2(x, norm="ortho")
+        return np.fft.fftshift(x, axes=(-2, -1))
+
     gt = shepp_logan(size)[None]  # [1,H,W]
     mask = radial_mask((size, size), num_lines, seed)[None]
-    target = jnp.asarray(gt)
-    y0 = fft2_center(target.astype(jnp.complex64))
+    y0 = np_fft2c(gt.astype(np.complex64))
     if sigma > 0:
-        key = jax.random.key(seed)
-        noise = (jax.random.normal(key, y0.shape) +
-                 1j * jax.random.normal(jax.random.key(seed + 1), y0.shape))
-        y0 = y0 + sigma * noise.astype(jnp.complex64)
-    y0 = jnp.where(jnp.asarray(mask), y0, 0)
-    ATy0 = ifft2_center(y0)
+        rng = np.random.RandomState(seed)
+        y0 = y0 + sigma * (rng.randn(*y0.shape) + 1j * rng.randn(*y0.shape))
+    y0 = np.where(mask, y0, 0).astype(np.complex64)
+    ATy0 = np_ifft2c(y0).astype(np.complex64)
     return {
-        "y0": np.asarray(y0)[None],       # [1,1,H,W]
-        "x0": np.asarray(ATy0)[None],
-        "ATy0": np.asarray(ATy0)[None],
+        "y0": y0[None],       # [1,1,H,W]
+        "x0": ATy0[None],
+        "ATy0": ATy0[None],
         "gt": gt[None],
         "mask": mask[None].astype(bool),
-        "params": {"y": np.asarray(y0)[None], "mask": mask[None]},
+        "params": {"y": y0[None], "mask": mask[None]},
     }
 
 

@@ -20,3 +20,4 @@ from .ops import (
 )
 from .constraints import matmul, equality, less
 from .evaluate import eval, adjoint, gram, validate, est_norm
+from .visualize import visualize, to_dot, to_text

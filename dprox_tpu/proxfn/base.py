@@ -72,7 +72,11 @@ class ProxFn:
         iteration loop); otherwise it is derived from v's shape, assuming
         the variable lives in the same space as v.
         """
-        lam = expand_to_bchw(jnp.asarray(lam, v.dtype))
+        # lam stays real even when the state is complex (CSMRI)
+        lam = jnp.asarray(lam)
+        if jnp.iscomplexobj(lam):
+            lam = jnp.real(lam)
+        lam = expand_to_bchw(lam)
         if offset is None:
             var = self.linop.variables[0]
             offset = self.offset({var.name: v.shape}, params)

@@ -22,3 +22,7 @@ from .imaging import (
     masks_CFA_Bayer,
     bayer_mask,
 )
+from . import io
+from .io import imread, imshow, filter_ckpt, list_image_files
+from . import init
+from .init import demosaic_bilinear, demosaic_from_mosaiced, shift_pixel

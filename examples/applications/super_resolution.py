@@ -1,0 +1,40 @@
+"""Single-image super-resolution with the DPIR fused sisr prox.
+
+Counterpart of /root/reference/examples/applications/super_resolution.py.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
+import numpy as np
+import jax.numpy as jnp
+
+import dprox_tpu as dp
+from dprox_tpu.utils import imaging, metrics
+from dprox_tpu.proxfn.pnp.hub import find_weights
+
+
+def main():
+    sf = 2
+    img = imaging.sample("face")
+    psf = imaging.point_spread_function(15, 2)
+    y, x0 = imaging.downsampling(img, psf, sf)
+
+    x = dp.Variable()
+    kernel = np.transpose(psf, (2, 0, 1))[None]  # [1,1,k,k]
+    data_term = dp.sisr(x, dp.utils.array(np.asarray(y)),
+                        dp.utils.array(kernel), sf)
+    denoiser = "ffdnet_color" if find_weights("ffdnet_color.pth") else "tv"
+    reg_term = dp.deep_prior(x, denoiser=denoiser)
+    prob = dp.Problem(data_term + reg_term)
+
+    rhos, sigmas = dp.log_descent(35, 10, 24)
+    out = prob.solve(method="admm", x0=x0, rhos=rhos, lams=sigmas, max_iter=24)
+
+    print(f"bicubic PSNR: {metrics.psnr(x0, img):.2f} dB")
+    print(f"solved  PSNR: {metrics.psnr(out, img):.2f} dB")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,12 @@ class conv(LinOp):
         key = tuple(shape[-3:])
         if key not in self._otf_cache:
             C, H, W = key
-            otf = psf2otf(self.kernel.squeeze(), (H, W, C))  # HWC
+            # kernel passed as-is: blind squeezing would destroy the
+            # orientation of axis-aligned kernels like grad's (1,2,1)
+            kernel = self.kernel
+            if kernel.ndim == 2:
+                pass  # HW -> padded to HWC by psf2otf
+            otf = psf2otf(kernel, (H, W, C))  # HWC
             otf = np.transpose(otf, (2, 0, 1))[None]  # 1CHW
             self._otf_cache[key] = np.asarray(otf, np.complex64)
         return self._otf_cache[key]

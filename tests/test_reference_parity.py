@@ -1,0 +1,164 @@
+"""Numerical parity against the actual reference implementation.
+
+These tests import /root/reference/dprox (PyTorch, CPU) through
+reference_harness and compare outputs on IDENTICAL inputs — linop
+forward/adjoint, the freq-diagonal least-squares x-update, schedules,
+the csmri fused prox, and full multi-iteration ADMM solves. Tolerances
+are f32 round-off level.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import dprox_tpu as dtp
+from reference_harness import load_reference
+
+ref = load_reference()
+pytestmark = pytest.mark.skipif(ref is None, reason="reference unavailable")
+
+if ref is not None:
+    import torch
+
+
+def t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+RNG = np.random.RandomState(0)
+IMG = RNG.rand(1, 3, 32, 32).astype(np.float32)
+PSF = RNG.rand(5, 5).astype(np.float32)
+PSF /= PSF.sum()
+
+
+class TestLinopParity:
+    def test_conv_forward_adjoint(self):
+        xr = ref.Variable()
+        op_r = ref.conv(xr, PSF)
+        out_r = op_r.forward(t(IMG)).numpy()
+        adj_r = op_r.adjoint(t(IMG)).numpy()
+
+        xj = dtp.Variable()
+        op_j = dtp.conv(xj, PSF)
+        out_j = np.asarray(dtp.linop.eval(op_j, jnp.asarray(IMG)))
+        adj_j = np.asarray(dtp.linop.adjoint(op_j, jnp.asarray(IMG)))
+        assert np.allclose(out_j, out_r, atol=2e-5)
+        assert np.allclose(adj_j, adj_r, atol=2e-5)
+
+    def test_grad_op(self):
+        for dim in (0, 1):
+            xr = ref.Variable()
+            out_r = ref.grad(xr, dim).forward(t(IMG)).numpy()
+            xj = dtp.Variable()
+            out_j = np.asarray(dtp.linop.eval(dtp.grad(xj, dim), jnp.asarray(IMG)))
+            assert np.allclose(out_j, out_r, atol=2e-5), f"dim={dim}"
+
+    def test_mosaic_op(self):
+        xr = ref.Variable()
+        out_r = ref.mosaic(xr).forward(t(IMG)).numpy()
+        xj = dtp.Variable()
+        out_j = np.asarray(dtp.linop.eval(dtp.mosaic(xj), jnp.asarray(IMG)))
+        assert np.allclose(out_j, out_r, atol=1e-6)
+
+    def test_conv_gram_diag(self):
+        xr = ref.Variable()
+        op_r = ref.conv(xr, PSF)
+        diag_r = op_r.get_diag(t(IMG), freq=True).numpy()
+        xj = dtp.Variable()
+        diag_j = np.asarray(dtp.conv(xj, PSF).gram_diag(IMG.shape, freq=True))
+        assert np.allclose(diag_j, diag_r, atol=2e-5)
+
+
+class TestScheduleParity:
+    def test_log_descent(self):
+        r_ref, s_ref = ref.log_descent(35, 10, 24)
+        r_j, s_j = dtp.log_descent(35, 10, 24)
+        assert np.allclose(np.asarray(r_j), r_ref.numpy(), rtol=1e-5)
+        assert np.allclose(np.asarray(s_j), s_ref.numpy(), rtol=1e-5)
+
+
+class TestSolveParity:
+    def _problem_ref(self, b):
+        x = ref.Variable()
+        data = ref.sum_squares(ref.conv(x, PSF) - t(b))
+        reg = ref.nonneg(x)
+        return ref.compile(data + reg, method="admm", device="cpu")
+
+    def _problem_jax(self, b):
+        x = dtp.Variable()
+        data = dtp.sum_squares(dtp.conv(x, PSF) - dtp.utils.array(b))
+        reg = dtp.nonneg(x)
+        return dtp.compile(data + reg, method="admm")
+
+    def test_admm_full_solve(self):
+        blurred = ref.conv(ref.Variable(), PSF).forward(t(IMG)).numpy()
+        s_ref = self._problem_ref(blurred)
+        with torch.no_grad():
+            out_r = s_ref.solve(x0=t(blurred), rhos=0.1, lams=0.05,
+                                max_iter=5).numpy()
+        s_jax = self._problem_jax(blurred)
+        out_j = np.asarray(s_jax.solve(x0=blurred, rhos=0.1, lams=0.05,
+                                       max_iter=5))
+        assert np.allclose(out_j, out_r, atol=5e-4), np.abs(out_j - out_r).max()
+
+    @pytest.mark.parametrize("method", ["admm", "hqs", "admm_vxu"])
+    def test_methods_parity(self, method):
+        blurred = ref.conv(ref.Variable(), PSF).forward(t(IMG)).numpy()
+        x = ref.Variable()
+        data = ref.sum_squares(ref.conv(x, PSF) - t(blurred))
+        reg = ref.nonneg(x)
+        s_ref = ref.compile(data + reg, method=method, device="cpu")
+        with torch.no_grad():
+            out_r = s_ref.solve(x0=t(blurred), rhos=0.2, lams=0.1,
+                                max_iter=4).numpy()
+
+        xj = dtp.Variable()
+        data_j = dtp.sum_squares(dtp.conv(xj, PSF) - dtp.utils.array(blurred))
+        reg_j = dtp.nonneg(xj)
+        s_jax = dtp.compile(data_j + reg_j, method=method)
+        out_j = np.asarray(s_jax.solve(x0=blurred, rhos=0.2, lams=0.1,
+                                       max_iter=4))
+        assert np.allclose(out_j, out_r, atol=5e-4), (
+            method, np.abs(out_j - out_r).max())
+
+
+class TestCsmriParity:
+    def test_csmri_fused_prox(self):
+        rng = np.random.RandomState(3)
+        mask = (rng.rand(1, 1, 16, 16) > 0.5)
+        y = (rng.randn(1, 1, 16, 16) + 1j * rng.randn(1, 1, 16, 16)).astype(np.complex64)
+        y = np.where(mask, y, 0)
+        v = rng.rand(1, 1, 16, 16).astype(np.float32)
+        rho = 0.7
+
+        x = ref.Variable()
+        fn_r = ref.csmri(x, torch.from_numpy(mask), torch.from_numpy(y))
+        out_r = fn_r._prox(t(v).to(torch.complex64),
+                           torch.tensor([rho]), 1).numpy()
+
+        xj = dtp.Variable()
+        fn_j = dtp.csmri(xj, dtp.utils.array(mask), dtp.utils.array(y))
+        out_j = np.asarray(fn_j.solve([jnp.asarray(v).astype(jnp.complex64)],
+                                      jnp.asarray([rho])))
+        assert np.allclose(out_j, out_r, atol=2e-5), np.abs(out_j - out_r).max()
+
+
+class TestProxParity:
+    def test_norm1_prox_with_modifiers(self):
+        rng = np.random.RandomState(4)
+        v = rng.randn(1, 3, 8, 8).astype(np.float32)
+        lam = 0.3
+
+        x = ref.Variable()
+        x.value = torch.zeros(1, 3, 8, 8)  # offset extraction needs a value
+        fn_r = ref.norm1(2.0 * ref.grad(x, 0))  # scale absorbed into beta
+        from dprox.algo.opt.absorb import absorb_all_linops as ref_absorb
+
+        fn_r = ref_absorb([fn_r])[0]
+        out_r = fn_r.prox(t(v), torch.tensor([lam])).numpy()
+
+        xj = dtp.Variable()
+        fn_j = dtp.norm1(2.0 * dtp.grad(xj, 0))
+        fn_j = dtp.algo.absorb_all_linops([fn_j])[0]
+        out_j = np.asarray(fn_j.prox(jnp.asarray(v), lam))
+        assert np.allclose(out_j, out_r, atol=1e-5)

@@ -174,3 +174,21 @@ class CustomADMM(ADMM):
         z = (x0,)
         u = tuple(jnp.zeros_like(x0) for _ in self.psi_fns)
         return (x, z, u)
+
+
+def complex2channel(x):
+    """[B,1,H,W] complex -> [B,2,H,W] (re, im) channels."""
+    x = jnp.asarray(x)
+    return jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=1)
+
+
+def custom_policy_ob_pack_fn(variables, x0, T, aux_state):
+    """CSMRI policy observation: solver variables + k-space data + mask +
+    time + noise channels (reference: csmri.py:221-229)."""
+    parts = [variables, x0, T]
+    if aux_state is not None:
+        parts.insert(1, complex2channel(jnp.asarray(aux_state["y0"])))
+        parts.append(jnp.asarray(aux_state["mask"]).astype(jnp.float32))
+        if "sigma_n" in aux_state:
+            parts.append(jnp.asarray(aux_state["sigma_n"]).astype(jnp.float32))
+    return jnp.real(jnp.concatenate(parts, axis=1))

@@ -1,26 +1,11 @@
-"""Offline weight lookup.
-
-The reference downloads pretrained weights from
-huggingface.co/delta-prox on miss (/root/reference/dprox/utils/
-huggingface.py:36-66). This environment has no egress, so we search
-local caches only; a miss returns None and wrappers fall back to
-deterministic random init (flagged via ``Denoiser.pretrained``).
-"""
+"""Offline weight lookup (delegates to dprox_tpu.utils.hub)."""
 from __future__ import annotations
 
-import os
 from typing import Optional
 
-SEARCH_DIRS = [
-    os.path.expanduser("~/.cache/dprox"),
-    os.path.expanduser("~/.cache/dprox_tpu"),
-    os.path.join(os.path.dirname(__file__), "..", "..", "..", "weights"),
-]
+from ...utils.hub import CACHE_DIRS as SEARCH_DIRS  # noqa: F401 (back-compat)
+from ...utils.hub import _search
 
 
 def find_weights(filename: str) -> Optional[str]:
-    for d in SEARCH_DIRS:
-        for root, _, files in os.walk(d) if os.path.isdir(d) else []:
-            if filename in files:
-                return os.path.join(root, filename)
-    return None
+    return _search(filename)

@@ -26,3 +26,5 @@ from . import io
 from .io import imread, imshow, filter_ckpt, list_image_files
 from . import init
 from .init import demosaic_bilinear, demosaic_from_mosaiced, shift_pixel
+from . import hub
+from .hub import load_path, load_checkpoint, download_dataset

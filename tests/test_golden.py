@@ -1,0 +1,83 @@
+"""Golden-metric regression tests on deterministic synthetic problems.
+
+The reference pins PSNR values of its full pipelines
+(tests/test_algorithms.py:19-103 there, ±0.1 dB). Its goldens depend on
+pretrained FFDNet weights unavailable offline; these pin the same
+pipelines with the deterministic TV prior and synthetic sample data so
+any numerical regression in linops / schedules / solvers / fast proxes
+shows up as a PSNR shift.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import dprox_tpu as dp
+from dprox_tpu.utils import imaging, metrics
+
+TOL = 0.1
+
+
+def _deconv_solver(method="admm"):
+    img = imaging.sample("face")[:, :, :128, :128]
+    psf = imaging.point_spread_function(15, 5)
+    b = imaging.blurring(img, psf)
+    x = dp.Variable()
+    data = dp.sum_squares(dp.conv(x, psf) - b)
+    reg = dp.deep_prior(x, "tv")
+    return img, b, dp.compile(data + reg, method=method)
+
+
+GOLDEN_DECONV = {
+    # method -> expected PSNR (dB) pinned 2026-08 on the synthetic face
+    "admm": 27.89,
+    "hqs": 27.90,
+    "admm_vxu": 27.91,
+}
+
+
+@pytest.mark.parametrize("method", list(GOLDEN_DECONV))
+def test_deconv_tv_golden(method):
+    img, b, solver = _deconv_solver(method)
+    rhos, sigmas = dp.log_descent(35, 10, 24)
+    out = solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=24)
+    psnr = metrics.psnr(out, img)
+    assert psnr == pytest.approx(GOLDEN_DECONV[method], abs=TOL), (method, psnr)
+
+
+def test_csmri_tv_golden():
+    from dprox_tpu.contrib import csmri
+
+    s = csmri.generate_sample(size=128, num_lines=40)
+    x = dp.Variable()
+    y = dp.Placeholder("y")
+    mask = dp.Placeholder("mask", batch=False)
+    data = dp.csmri(x, mask, y)
+    reg = dp.deep_prior(x, "tv", sqrt=True)
+    solver = dp.compile(data + reg, method="admm")
+    rhos, sigmas = dp.log_descent(30, 5, 24, sigma=0.01)
+    out = solver.solve(x0=s["x0"], rhos=rhos, lams=sigmas, max_iter=24,
+                       params=s["params"], real_output=True)
+    psnr = metrics.psnr(np.asarray(out), s["gt"])
+    assert psnr == pytest.approx(25.71, abs=TOL), psnr
+
+
+def test_demosaic_golden():
+    img = imaging.sample("face")[:, :, :128, :128]
+    b = imaging.mosaicing(img)
+    x = dp.Variable()
+    data = dp.sum_squares(dp.mosaic(x), b=dp.utils.array(np.asarray(b)))
+    reg = dp.deep_prior(x, "tv")
+    solver = dp.compile(data + reg, method="admm")
+    init = dp.utils.demosaic_from_mosaiced(b)
+    rhos, sigmas = dp.log_descent(35, 10, 24)
+    out = solver.solve(x0=init, rhos=rhos, lams=sigmas, max_iter=24)
+    psnr = metrics.psnr(out, img)
+    assert psnr == pytest.approx(25.81, abs=TOL), psnr
+
+
+def _record_mode():  # pragma: no cover - helper for refreshing goldens
+    for m in GOLDEN_DECONV:
+        img, b, solver = _deconv_solver(m)
+        rhos, sigmas = dp.log_descent(35, 10, 24)
+        out = solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=24)
+        print(m, metrics.psnr(out, img))

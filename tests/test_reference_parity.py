@@ -162,3 +162,88 @@ class TestProxParity:
         fn_j = dtp.algo.absorb_all_linops([fn_j])[0]
         out_j = np.asarray(fn_j.prox(jnp.asarray(v), lam))
         assert np.allclose(out_j, out_r, atol=1e-5)
+
+
+class TestMoreSolverParity:
+    def test_ladmm_parity(self):
+        blurred = ref.conv(ref.Variable(), PSF).forward(t(IMG)).numpy()
+        x = ref.Variable()
+        data = ref.sum_squares(ref.conv(x, PSF) - t(blurred))
+        reg = ref.nonneg(x)
+        s_ref = ref.compile(data + reg, method="ladmm", device="cpu")
+        with torch.no_grad():
+            out_r = s_ref.solve(x0=t(blurred), rhos=0.2, lams=0.1,
+                                max_iter=4).numpy()
+        xj = dtp.Variable()
+        data_j = dtp.sum_squares(dtp.conv(xj, PSF) - dtp.utils.array(blurred))
+        s_jax = dtp.compile(data_j + dtp.nonneg(xj), method="ladmm")
+        out_j = np.asarray(s_jax.solve(x0=blurred, rhos=0.2, lams=0.1,
+                                       max_iter=4))
+        assert np.allclose(out_j, out_r, atol=5e-4), np.abs(out_j - out_r).max()
+
+    def test_pgd_parity(self):
+        blurred = ref.conv(ref.Variable(), PSF).forward(t(IMG)).numpy()
+        x = ref.Variable()
+        data = ref.sum_squares(ref.conv(x, PSF) - t(blurred))
+        reg = ref.nonneg(x)
+        s_ref = ref.compile(data + reg, method="pgd", device="cpu")
+        with torch.no_grad():
+            out_r = s_ref.solve(x0=t(blurred), rhos=0.4, lams=0.1,
+                                max_iter=4).numpy()
+        xj = dtp.Variable()
+        data_j = dtp.sum_squares(dtp.conv(xj, PSF) - dtp.utils.array(blurred))
+        s_jax = dtp.compile(data_j + dtp.nonneg(xj), method="pgd")
+        out_j = np.asarray(s_jax.solve(x0=blurred, rhos=0.4, lams=0.1,
+                                       max_iter=4))
+        assert np.allclose(out_j, out_r, atol=5e-4), np.abs(out_j - out_r).max()
+
+    def test_weighted_sum_squares_mosaic_absorb(self):
+        """NOTE: the reference's own absorb->weighted_sum_squares path is
+        broken for mosaic (mosaic defines is_self_diag/is_gram_diag but
+        not is_diag, so weighted_sum_squares.__init__ raises
+        "weight mosaic must be diagonalizable", sum_square.py:56-64).
+        Verified against the analytic prox instead:
+        argmin ||Mx-b||^2 + 1/(2 lam)||x-v||^2 = (2 lam M^T b + v)/(2 lam M + 1)
+        with the reference convention prox(v, lam) using lam scaling."""
+        rng = np.random.RandomState(7)
+        b = rng.rand(1, 3, 16, 16).astype(np.float32)
+        v = rng.rand(1, 3, 16, 16).astype(np.float32)
+        lam = 0.4
+
+        xj = dtp.Variable()
+        fn_j = dtp.sum_squares(dtp.mosaic(xj), b=dtp.utils.array(b))
+        fn_j = dtp.algo.absorb_all_linops([fn_j])[0]
+        assert isinstance(fn_j, dtp.weighted_sum_squares)
+        out_j = np.asarray(fn_j.prox(jnp.asarray(v), lam))
+        # our weighted_sum_squares._prox: (Ktb + lam*v)/(diag + lam)
+        from dprox_tpu.utils.imaging import bayer_mask
+
+        mask = bayer_mask((16, 16))
+        expect = (mask * b + lam * v) / (mask + lam)
+        assert np.allclose(out_j, expect, atol=1e-5), np.abs(out_j - expect).max()
+
+    def test_cg_path_jd_parity(self):
+        """Joint demosaic-deconv: the non-diagonalizable CG x-update,
+        converged tight on both sides (reference tests/problem/test_jd23)."""
+        from dprox.linalg import LinearSolveConfig as RefCfg
+
+        rng = np.random.RandomState(8)
+        img = rng.rand(1, 3, 16, 16).astype(np.float32)
+        x = ref.Variable()
+        Kop = ref.mosaic(ref.conv(x, PSF))
+        b = Kop.forward(t(img)).numpy()
+
+        data = ref.sum_squares(ref.mosaic(ref.conv(x, PSF)) - t(b))
+        reg = ref.nonneg(x)
+        s_ref = ref.compile(data + reg, method="admm", device="cpu",
+                            linear_solve_config=RefCfg(rtol=1e-10, max_iters=300))
+        with torch.no_grad():
+            out_r = s_ref.solve(x0=t(b), rhos=0.3, lams=0.1, max_iter=3).numpy()
+
+        xj = dtp.Variable()
+        data_j = dtp.sum_squares(dtp.mosaic(dtp.conv(xj, PSF)) - dtp.utils.array(b))
+        s_jax = dtp.compile(data_j + dtp.nonneg(xj), method="admm",
+                            linear_solve_config=dtp.LinearSolveConfig(rtol=1e-10, max_iters=300))
+        assert not s_jax.least_square.freq_diagonalizable
+        out_j = np.asarray(s_jax.solve(x0=b, rhos=0.3, lams=0.1, max_iter=3))
+        assert np.allclose(out_j, out_r, atol=1e-3), np.abs(out_j - out_r).max()

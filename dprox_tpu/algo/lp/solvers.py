@@ -122,7 +122,8 @@ class LPSolverADMM:
     def solve(self, problem: LPProblem, params: Optional[dict] = None,
               max_iters: Optional[int] = None, eval_freq: int = 25,
               residual_balance: bool = False, pcg_iters: int = 1000,
-              differentiable: bool = False, unroll_pcg_iters: int = 20):
+              differentiable: bool = False, unroll_pcg_iters: int = 20,
+              polish: bool = False):
         """Run the ADMM loop; returns (x, history, results)."""
         params = params if params is not None else self.init_params()
         max_iters = max_iters or self.max_iters
@@ -207,9 +208,61 @@ class LPSolverADMM:
             if r_norm < eps_p and s_norm < eps_d:
                 break
 
+        if polish:
+            x, z, y = self.solution_polishing(p, c, x, z, y)
+            objval, r_norm, s_norm, eps_p, eps_d = self.eval_result(
+                p, c, gamma_c, gamma_b, x, z, y)
         results = (objval, r_norm, s_norm, eps_p, eps_d)
         x_out = x * p.d / gamma_b
         return x_out, history, results
+
+    def solution_polishing(self, p: LPProblem, c, x, z, y, delta: float = 1e-6,
+                           refine_steps: int = 2):
+        """Active-set KKT polishing with iterative refinement
+        (reference: solvers.py:264-300). Runs host-side in scipy sparse
+        f64 — a one-shot final step, not part of the hot loop."""
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        x_np = np.asarray(x)
+        z_np = np.asarray(z)
+        y_np = np.asarray(y)
+        n = x_np.shape[0]
+        Il = y_np < 0
+        Iu = y_np > 0
+        # rebuild the equilibrated A host-side from the BCOO operator
+        data = np.asarray(p.A.data)
+        idx = np.asarray(p.A.indices)
+        A_sp = sp.csr_matrix((data, (idx[:, 0], idx[:, 1])), shape=p.A.shape)
+        Al = A_sp[Il]
+        Au = A_sp[Iu]
+        nl, nu = Al.shape[0], Au.shape[0]
+        if nl + nu == 0:
+            return x, z, y
+        Kp = sp.bmat([
+            [delta * sp.eye(n), Al.T, Au.T],
+            [Al, -delta * sp.eye(nl) if nl else None, None],
+            [Au, None, -delta * sp.eye(nu) if nu else None],
+        ], format="csc")
+        Kp_gt = sp.bmat([
+            [sp.csr_matrix((n, n)), Al.T, Au.T],
+            [Al, sp.csr_matrix((nl, nl)), sp.csr_matrix((nl, nu))],
+            [Au, sp.csr_matrix((nu, nl)), sp.csr_matrix((nu, nu))],
+        ], format="csc")
+        rhs = np.concatenate([-np.asarray(c), z_np[Il], z_np[Iu]])
+        lu = spla.splu(Kp)
+        t_hat = lu.solve(rhs)
+        for _ in range(refine_steps):
+            t_hat = t_hat + lu.solve(rhs - Kp_gt @ t_hat)
+        x_new = t_hat[:n]
+        yl = t_hat[n:n + nl]
+        yu = t_hat[n + nl:]
+        z_new = A_sp @ x_new
+        y_new = y_np.copy()
+        y_new[Il] = yl
+        y_new[Iu] = yu
+        return (jnp.asarray(x_new, self.dtype), jnp.asarray(z_new, self.dtype),
+                jnp.asarray(y_new, self.dtype))
 
     def solve_truncated(self, problem: LPProblem, params, iters: int = 10,
                         unroll_pcg_iters: int = 20):

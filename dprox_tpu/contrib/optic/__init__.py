@@ -9,3 +9,9 @@ from .doe_model import (
     area_downsampling,
     get_coordinate,
 )
+from .doe_model_hybrid import (
+    HybridDOEModelConfig,
+    HybridRGBCollimator,
+    build_hybrid_doe_model,
+    sellmeier_fused_silica,
+)

@@ -25,6 +25,6 @@ from .imaging import (
 from . import io
 from .io import imread, imshow, filter_ckpt, list_image_files
 from . import init
-from .init import demosaic_bilinear, demosaic_from_mosaiced, shift_pixel
+from .init import demosaic_bilinear, demosaic_from_mosaiced, demosaic_malvar, shift_pixel
 from . import hub
 from .hub import load_path, load_checkpoint, download_dataset

@@ -80,3 +80,47 @@ def shift_pixel(x, sf: int, upper_left: bool = True):
     out = [map_coordinates(x[..., c], [yy, xx], order=1)
            for c in range(x.shape[-1])]
     return jnp.stack(out, axis=-1)
+
+
+def demosaic_malvar(bayer_rggb: jnp.ndarray) -> jnp.ndarray:
+    """Malvar-He-Cutler ("matlab") demosaicking of packed Bayer planes.
+
+    Input: [N,4,H/2,W/2] (R, G1, G2, B) -> [N,3,H,W]
+    (reference: init/mosaic.py:57-108).
+    """
+    imgs = jnp.asarray(bayer_rggb)
+    N, _, h, w = imgs.shape
+    H, W = h * 2, w * 2
+    kgrb = (1 / 8) * jnp.asarray(
+        [[0, 0, -1, 0, 0], [0, 0, 2, 0, 0], [-1, 2, 4, 2, -1],
+         [0, 0, 2, 0, 0], [0, 0, -1, 0, 0]], jnp.float32)
+    krbg0 = (1 / 8) * jnp.asarray(
+        [[0, 0, 0.5, 0, 0], [0, -1, 0, -1, 0], [-1, 4, 5, 4, -1],
+         [0, -1, 0, -1, 0], [0, 0, 0.5, 0, 0]], jnp.float32)
+    krbg1 = krbg0.T
+    krbbr = (1 / 8) * jnp.asarray(
+        [[0, 0, -1.5, 0, 0], [0, 2, 0, 2, 0], [-1.5, 0, 6, 0, -1.5],
+         [0, 2, 0, 2, 0], [0, 0, -1.5, 0, 0]], jnp.float32)
+    k = jnp.stack([kgrb, krbg0, krbg1, krbbr])[:, None]  # [4,1,5,5]
+
+    cfa = jnp.zeros((N, 1, H, W), imgs.dtype)
+    cfa = cfa.at[:, 0, 0::2, 0::2].set(imgs[:, 0])
+    cfa = cfa.at[:, 0, 0::2, 1::2].set(imgs[:, 1])
+    cfa = cfa.at[:, 0, 1::2, 0::2].set(imgs[:, 2])
+    cfa = cfa.at[:, 0, 1::2, 1::2].set(imgs[:, 3])
+    rgb = jnp.tile(cfa, (1, 3, 1, 1))
+
+    padded = jnp.pad(cfa, ((0, 0), (0, 0), (2, 2), (2, 2)), mode="reflect")
+    conv_cfa = jax.lax.conv_general_dilated(
+        padded, k, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    rgb = rgb.at[:, 1, 0::2, 0::2].set(conv_cfa[:, 0, 0::2, 0::2])
+    rgb = rgb.at[:, 1, 1::2, 1::2].set(conv_cfa[:, 0, 1::2, 1::2])
+    rgb = rgb.at[:, 0, 0::2, 1::2].set(conv_cfa[:, 1, 0::2, 1::2])
+    rgb = rgb.at[:, 0, 1::2, 0::2].set(conv_cfa[:, 2, 1::2, 0::2])
+    rgb = rgb.at[:, 0, 1::2, 1::2].set(conv_cfa[:, 3, 1::2, 1::2])
+    rgb = rgb.at[:, 2, 0::2, 1::2].set(conv_cfa[:, 2, 0::2, 1::2])
+    rgb = rgb.at[:, 2, 1::2, 0::2].set(conv_cfa[:, 1, 1::2, 0::2])
+    rgb = rgb.at[:, 2, 0::2, 0::2].set(conv_cfa[:, 3, 0::2, 0::2])
+    return rgb

@@ -32,27 +32,32 @@ def anderson(f: Callable, x0: jnp.ndarray, m: int = 6, lam: float = 1e-4,
     def ff(v):  # flat -> flat
         return _flat(f(v.reshape(orig_shape)))
 
-    X = jnp.zeros((bsz, m, D), x0.dtype)
-    F = jnp.zeros((bsz, m, D), x0.dtype)
+    # buffers adopt the fixed-point map's output dtype (the CSMRI state
+    # is complex even when x0 is real)
     x0f = _flat(x0)
-    X = X.at[:, 0].set(x0f)
-    F = F.at[:, 0].set(ff(x0f))
+    f0 = ff(x0f)
+    dtype = jnp.result_type(x0.dtype, f0.dtype)
+    x0 = x0.astype(dtype)
+    X = jnp.zeros((bsz, m, D), dtype)
+    F = jnp.zeros((bsz, m, D), dtype)
+    X = X.at[:, 0].set(x0f.astype(dtype))
+    F = F.at[:, 0].set(f0.astype(dtype))
     X = X.at[:, 1].set(F[:, 0])
-    F = F.at[:, 1].set(ff(F[:, 0]))
+    F = F.at[:, 1].set(ff(F[:, 0]).astype(dtype))
 
-    y = jnp.zeros((bsz, m + 1, 1), x0.dtype).at[:, 0].set(1.0)
+    y = jnp.zeros((bsz, m + 1, 1), dtype).at[:, 0].set(1.0)
 
     def mix(X, F, k, n):
         """One Anderson update with n active history entries (n static)."""
         G = F[:, :n] - X[:, :n]
-        Hm = jnp.einsum("bnd,bmd->bnm", G, G) + lam * jnp.eye(n, dtype=x0.dtype)
-        H = jnp.zeros((bsz, n + 1, n + 1), x0.dtype)
+        Hm = jnp.einsum("bnd,bmd->bnm", G, jnp.conj(G)) + lam * jnp.eye(n, dtype=dtype)
+        H = jnp.zeros((bsz, n + 1, n + 1), dtype)
         H = H.at[:, 0, 1:].set(1.0).at[:, 1:, 0].set(1.0)
         H = H.at[:, 1:, 1:].set(Hm)
         alpha = jnp.linalg.solve(H, y[:, : n + 1])[:, 1:, 0]  # [B, n]
         xk = beta * jnp.einsum("bn,bnd->bd", alpha, F[:, :n]) + \
             (1 - beta) * jnp.einsum("bn,bnd->bd", alpha, X[:, :n])
-        fk = ff(xk)
+        fk = ff(xk).astype(dtype)
         X = X.at[:, k % m].set(xk)
         F = F.at[:, k % m].set(fk)
         res = jnp.linalg.norm(fk - xk) / (1e-5 + jnp.linalg.norm(fk))
@@ -76,14 +81,14 @@ def anderson(f: Callable, x0: jnp.ndarray, m: int = 6, lam: float = 1e-4,
     def body(carry):
         X, F, kk, _ = carry
         G = F - X
-        Hm = jnp.einsum("bnd,bmd->bnm", G, G) + lam * jnp.eye(m, dtype=x0.dtype)
-        H = jnp.zeros((bsz, m + 1, m + 1), x0.dtype)
+        Hm = jnp.einsum("bnd,bmd->bnm", G, jnp.conj(G)) + lam * jnp.eye(m, dtype=dtype)
+        H = jnp.zeros((bsz, m + 1, m + 1), dtype)
         H = H.at[:, 0, 1:].set(1.0).at[:, 1:, 0].set(1.0)
         H = H.at[:, 1:, 1:].set(Hm)
         alpha = jnp.linalg.solve(H, y)[:, 1:, 0]
         xk = beta * jnp.einsum("bn,bnd->bd", alpha, F) + \
             (1 - beta) * jnp.einsum("bn,bnd->bd", alpha, X)
-        fk = ff(xk)
+        fk = ff(xk).astype(dtype)
         idx = kk % m
         X2 = jax.lax.dynamic_update_index_in_dim(X, xk, idx, axis=1)
         F2 = jax.lax.dynamic_update_index_in_dim(F, fk, idx, axis=1)

@@ -28,3 +28,7 @@ from . import init
 from .init import demosaic_bilinear, demosaic_from_mosaiced, demosaic_malvar, shift_pixel
 from . import hub
 from .hub import load_path, load_checkpoint, download_dataset
+from . import profiling
+from .profiling import Timer, IterationTimer, trace
+from . import checkpoint
+from .checkpoint import save_pytree, load_pytree

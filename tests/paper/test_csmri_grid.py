@@ -1,0 +1,78 @@
+"""Paper-style CSMRI evaluation grid: PnP-ADMM vs DEQ over acceleration
+(mask density) x noise, mirroring /root/reference/tests/paper/test_csmri.py.
+
+The reference pins PSNRs of pretrained DRUNet/UNet priors on Medical7/
+MICCAI (31.78/28.43/35.57/32.19 ±0.03 dB); those weights and datasets
+are not available offline, so this grid runs the deterministic TV prior
+on synthetic phantoms and asserts reconstruction quality ordering plus
+golden values for regression.
+"""
+import numpy as np
+import pytest
+
+import dprox_tpu as dp
+from dprox_tpu.contrib import csmri
+from dprox_tpu.utils import metrics
+
+
+def _solve_pnp(sample, max_iter=24):
+    x = dp.Variable()
+    y = dp.Placeholder("y")
+    mask = dp.Placeholder("mask", batch=False)
+    data = dp.csmri(x, mask, y)
+    reg = dp.deep_prior(x, "tv", sqrt=True)
+    solver = dp.compile(data + reg, method="admm")
+    rhos, sigmas = dp.log_descent(30, 5, max_iter, sigma=0.01)
+    out = solver.solve(x0=sample["x0"], rhos=rhos, lams=sigmas,
+                       max_iter=max_iter, params=sample["params"],
+                       real_output=True)
+    return np.asarray(out)
+
+
+def _solve_deq(sample):
+    x = dp.Variable()
+    y = dp.Placeholder("y")
+    mask = dp.Placeholder("mask", batch=False)
+    data = dp.csmri(x, mask, y)
+    reg = dp.deep_prior(x, "tv", sqrt=True)
+    solver = dp.compile(data + reg, method="admm")
+    deq = dp.specialize(solver, method="deq", f_thres=30, b_thres=30)
+    out = deq.solve(x0=np.real(sample["x0"]).astype(np.float32),
+                    rhos=0.5, lams=0.02, params=sample["params"])
+    return np.asarray(out)
+
+
+GRID = [
+    # (num_lines ~ acceleration, sigma_n, expected PnP PSNR)
+    (50, 0.0, 25.33),
+    (40, 0.0, 25.71),
+    (40, 0.05, 19.86),
+    (30, 0.05, 18.48),
+]
+
+
+@pytest.mark.parametrize("num_lines,sigma,expected", GRID)
+def test_pnp_grid(num_lines, sigma, expected):
+    s = csmri.generate_sample(size=128, num_lines=num_lines, sigma=sigma)
+    out = _solve_pnp(s)
+    zero_filled = metrics.psnr(np.real(s["x0"]), s["gt"])
+    psnr = metrics.psnr(out, s["gt"])
+    assert psnr > zero_filled + 2.0, (psnr, zero_filled)
+    assert psnr == pytest.approx(expected, abs=0.15), psnr
+
+
+def test_deq_reconstructs():
+    s = csmri.generate_sample(size=64, num_lines=40)
+    out = _solve_deq(s)
+    zero_filled = metrics.psnr(np.real(s["x0"]), s["gt"])
+    psnr = metrics.psnr(out, s["gt"])
+    assert np.isfinite(psnr)
+    assert psnr > zero_filled + 1.0, (psnr, zero_filled)
+
+
+def test_more_measurements_help():
+    # sanity on the physics: more radial lines -> better reconstruction
+    lo = _solve_pnp(csmri.generate_sample(size=128, num_lines=20))
+    hi = _solve_pnp(csmri.generate_sample(size=128, num_lines=60))
+    gt = csmri.generate_sample(size=128)["gt"]
+    assert metrics.psnr(hi, gt) > metrics.psnr(lo, gt) + 2.0

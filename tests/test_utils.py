@@ -88,3 +88,30 @@ def test_est_norm_power_iteration():
     op = dp.scale(3.0, x)
     n = dp.linop.est_norm(op, shape=(1, 1, 8, 8), iters=20)
     assert abs(n - 3.0) < 0.1
+
+
+def test_profiling_timer():
+    from dprox_tpu.utils.profiling import IterationTimer, Timer
+
+    t = Timer()
+    _ = jnp.ones((8, 8)) * 2
+    dt = t.lap(_)
+    assert dt >= 0
+
+    x = dp.Variable()
+    solver = dp.compile(dp.sum_squares(x, b=dp.utils.array(np.ones((1, 1, 8, 8), np.float32)))
+                        + dp.nonneg(x), method="admm")
+    it = IterationTimer()
+    solver.solve(x0=np.zeros((1, 1, 8, 8), np.float32), max_iter=3, callback=it)
+    assert len(it.times) == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from dprox_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+    path = str(tmp_path / "ckpt.msgpack")
+    kind = save_pytree(path, tree, use_orbax=False)
+    assert kind == "msgpack"
+    out = load_pytree(path, tree)
+    assert np.allclose(np.asarray(out["b"]["c"]), 1.0)

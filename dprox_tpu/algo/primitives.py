@@ -37,6 +37,9 @@ def compile(prox_fns: List[ProxFn], method: str = "admm", device=None, **kwargs)
     """
     if isinstance(prox_fns, ProxFn):
         prox_fns = [prox_fns]
+    if method not in SOLVERS:
+        raise ValueError(
+            f"unknown method '{method}'; available: {sorted(SOLVERS)}")
     algorithm = SOLVERS[method]
     psi_fns, omega_fns = algorithm.partition(prox_fns)
     solver = algorithm(psi_fns, omega_fns, **kwargs)

@@ -13,6 +13,7 @@ from typing import Callable, Iterable, Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import optax
 from flax import serialization
 
@@ -62,6 +63,13 @@ def train_supervised(step_fn: Callable, dataset: Iterable, init_params,
     @jax.jit
     def update(params, opt_state, batch, key):
         loss, grads = jax.value_and_grad(step_fn)(params, batch, key)
+        # NaN-robustness: skip the update when loss/grads are non-finite
+        # (the reference keeps a commented-out reload-last-ckpt path,
+        # deq/training.py:41-47; masking the step is the pure equivalent)
+        finite = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+        grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -34,20 +34,30 @@ def build_problem(B=1, H=512, W=512, C=3, max_iter=24):
     return solver, img, b
 
 
-def bench_admm(B=1, iters=100, warmup=2):
+def bench_admm(B=1, iters_lo=24, iters_hi=124, reps=3):
+    """Marginal iteration throughput.
+
+    NOTE: jax.block_until_ready returns early on the axon backend, so
+    timings are forced by a host fetch, and the per-solve fixed overhead
+    (dispatch + transfer) is cancelled by differencing two iteration
+    counts: its/s = (hi - lo) / (t_hi - t_lo).
+    """
     solver, img, b = build_problem(B=B)
-    run = lambda: solver.solve(x0=b, max_iter=iters, rhos=0.05, lams=0.01)
-    out = run()
-    jax.block_until_ready(out)  # compile + warmup
-    for _ in range(warmup - 1):
-        jax.block_until_ready(run())
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        out = run()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    its_per_sec = iters / dt
+
+    def timed(iters):
+        out = solver.solve(x0=b, max_iter=iters, rhos=0.05, lams=0.01)
+        float(jnp.mean(out))  # warmup incl. fetch
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = solver.solve(x0=b, max_iter=iters, rhos=0.05, lams=0.01)
+            float(jnp.mean(out))  # force completion
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    t_lo, _ = timed(iters_lo)
+    t_hi, out = timed(iters_hi)
+    its_per_sec = (iters_hi - iters_lo) / max(t_hi - t_lo, 1e-9)
     return its_per_sec, out, img
 
 

@@ -42,6 +42,8 @@ class ADMM(Algorithm):
 
     def initialize(self, x0, params, v=None):
         x = x0
+        if getattr(self.least_square, "complex_state", False):
+            x = x.astype(jnp.complex64)
         if v is None:
             v = tuple(self.K_forward(x, params))
         u = tuple(jnp.zeros_like(e) for e in v)

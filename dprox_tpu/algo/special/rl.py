@@ -113,10 +113,13 @@ class AutoTuneSolver:
                                       params=solve_params or {}, x_ref=x0)
         return state[0]
 
-    def solve(self, x0, aux_state=None, params=None, **kwargs):
+    def solve(self, x0, aux_state=None, params=None, solve_params=None,
+              **kwargs):
+        """``params``: policy weights; ``solve_params``: the solver's
+        placeholder values (observations, masks, ...)."""
         x0 = to_jax_array(x0, batch=True).astype(jnp.float32)
         return self._episode(params if params is not None else self.policy_params,
-                             x0, aux_state=aux_state)
+                             x0, solve_params=solve_params, aux_state=aux_state)
 
     # ---------------------------------------------------------------- #
 

@@ -170,6 +170,8 @@ class CustomADMM(ADMM):
         return (x_new[0], (z_new,), u_new)
 
     def initialize(self, x0, params, v=None):
+        if getattr(self.least_square, "complex_state", False):
+            x0 = x0.astype(jnp.complex64)
         x = x0
         z = (x0,)
         u = tuple(jnp.zeros_like(x0) for _ in self.psi_fns)

@@ -21,6 +21,9 @@ from ..sum_squares import ext_sum_squares
 
 
 class csmri(ext_sum_squares):
+    # the fused solve lives in k-space: solver states must be complex
+    complex_state = True
+
     def __init__(self, linop, mask, y):
         super().__init__(linop)
         self.mask = mask

@@ -49,11 +49,16 @@ class ProxFn:
         acc = self.linop.adjoint(y, params)
         return acc.get(var.name, jnp.zeros_like(y))
 
-    def offset(self, var_shapes: Dict[str, tuple], params: Optional[Params] = None) -> Array:
+    def offset(self, var_shapes: Dict[str, tuple], params: Optional[Params] = None):
         """b such that the expression is K x - b (= -linop constant part).
 
+        Returns None when the linop has no constants/placeholders: the
+        offset is identically zero, and callers skip the work entirely
+        (two fewer elementwise passes per prox inside the solver scan).
         (reference: base.py:42-44 — ``-self.linop.offset``.)
         """
+        if not self.linop.constants:
+            return None
         return -self.linop.offset(var_shapes, params)
 
     # ------------------------------------------------------------------ #
@@ -77,7 +82,7 @@ class ProxFn:
         if jnp.iscomplexobj(lam):
             lam = jnp.real(lam)
         lam = expand_to_bchw(lam)
-        if offset is None:
+        if offset is None and self.linop.constants:
             var = self.linop.variables[0]
             offset = self.offset({var.name: v.shape}, params)
 
@@ -85,12 +90,18 @@ class ProxFn:
             return self._prox(v_, lam_, params=params, step=step)
 
         def scaled(v_, lam_):  # alpha * f
+            if self.alpha == 1.0:
+                return raw(v_, lam_)
             return raw(v_, lam_ * self.alpha)
 
         def affine(v_, lam_):  # f(beta x)
+            if self.beta == 1.0:
+                return scaled(v_, lam_)
             return (1.0 / self.beta) * scaled(self.beta * v_, self.beta * self.beta * lam_)
 
-        # translated: f(y - b)
+        # translated: f(y - b); skipped when the offset is identically zero
+        if offset is None:
+            return affine(v, lam)
         return affine(v - offset, lam) + offset
 
     def convex_conjugate_prox(self, v: Array, lam, params=None, step=None,

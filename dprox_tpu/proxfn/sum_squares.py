@@ -43,7 +43,7 @@ class sum_squares(ProxFn):
     def offset(self, var_shapes, params=None):
         if self._b is not None:
             return self.unwrap_b(params)
-        return super().offset(var_shapes, params)
+        return super().offset(var_shapes, params)  # may be None (no constants)
 
     def unwrap_b(self, params: Optional[Params]):
         from ..linop.base import Placeholder
@@ -60,7 +60,9 @@ class sum_squares(ProxFn):
         """K^T (K x - b) — enables the omega role in PGD."""
         var = self.linop.variables[0]
         off = self.offset({var.name: x.shape}, params)
-        tmp = self.dag_forward(x, params) - off
+        tmp = self.dag_forward(x, params)
+        if off is not None:
+            tmp = tmp - off
         return self.dag_adjoint(tmp, params)
 
 
@@ -167,7 +169,8 @@ class least_squares(ProxFn):
         Ktb_quad = 0.0
         for fn in self.quad_fns:
             off = fn.offset(var_shapes, params)
-            Ktb_quad = Ktb_quad + fn.dag_adjoint(off, params)
+            if off is not None:
+                Ktb_quad = Ktb_quad + fn.dag_adjoint(off, params)
         prepared = {"Ktb_quad": Ktb_quad}
         if self.diagonalizable or self.freq_diagonalizable:
             freq = self.freq_diagonalizable
@@ -198,7 +201,8 @@ class least_squares(ProxFn):
         Ktb = 0.0
         for fn in self.quad_fns:
             off = fn.offset(var_shapes, params)
-            Ktb = Ktb + fn.dag_adjoint(off, params)
+            if off is not None:
+                Ktb = Ktb + fn.dag_adjoint(off, params)
         for i, fn in enumerate(self.other_fns):
             Ktb = Ktb + rho * fn.dag_adjoint(b[i], params)
         if v is not None:

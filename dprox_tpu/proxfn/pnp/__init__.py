@@ -4,6 +4,7 @@ from .denoisers import (
     Denoiser2D,
     FFDNetDenoiser,
     FFDNetColorDenoiser,
+    FFDNet3DDenoiser,
     DRUNetDenoiser,
     IRCNNDenoiser,
     UNetDenoiser,

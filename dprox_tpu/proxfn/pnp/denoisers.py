@@ -105,6 +105,30 @@ class FFDNetColorDenoiser(Denoiser):
         return _nhwc_to_nchw(out)
 
 
+class FFDNet3DDenoiser(Denoiser):
+    """Hyperspectral FFDNet: caller-concatenated sigma map channel
+    (reference: wrapper.py:51-64)."""
+
+    def __init__(self, params=None, ckpt_path: Optional[str] = None,
+                 in_nc: int = 32, out_nc: int = 31):
+        self.module = FFDNet3D(in_nc=in_nc, out_nc=out_nc, nc=64, nb=15)
+        init = self.module.init(jax.random.key(0),
+                                jnp.zeros((1, 32, 32, in_nc)))
+        if params is None and ckpt_path is not None:
+            params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
+        super().__init__(params if params is not None else None)
+        if self.params is None:
+            self.params = init
+
+    def denoise(self, x, sigma, params=None):
+        p = params if params is not None else self.params
+        sigma = jnp.asarray(sigma, x.dtype).reshape((-1, 1, 1, 1))
+        smap = jnp.ones_like(x[:, :1]) * sigma
+        inp = jnp.concatenate([x, smap], axis=1)
+        out = self.module.apply(p, _nchw_to_nhwc(inp))
+        return _nhwc_to_nchw(out)
+
+
 class DRUNetDenoiser(Denoiser):
     """DRUNet with tiled ("refield") inference for large inputs
     (reference: wrapper.py:91-146)."""

@@ -62,13 +62,21 @@ def psf2otf(psf: np.ndarray, out_shape) -> np.ndarray:
     return otf
 
 
-def psf2otf_traced(psf: jnp.ndarray, out_hw) -> jnp.ndarray:
+def psf2otf_traced(psf: jnp.ndarray, out_hw, torch_compat_shift: bool = True) -> jnp.ndarray:
     """OTF of a traced PSF value, shape [..., fh, fw] -> [..., H, W].
 
     Pads the PSF symmetrically to (H, W) then ifftshifts so its center
     sits at (0, 0) before the FFT (reference: psf2otf2 at
     /root/reference/dprox/linop/conv.py:59-80). Differentiable w.r.t.
     ``psf`` — used for DOE PSF co-design where the PSF is learned.
+
+    torch_compat_shift: the reference calls ``torch.fft.ifftshift`` with
+    no dims, shifting EVERY axis — for a [1,3,h,w] RGB PSF this also
+    rolls the channel axis by one, permuting the per-color OTFs. That is
+    physically wrong but baked into the reference's trained DOE
+    checkpoints (the learned height map compensates), so it is the
+    default for checkpoint compatibility; pass False for the physically
+    correct spatial-only shift.
     """
     H, W = int(out_hw[0]), int(out_hw[1])
     fh, fw = psf.shape[-2], psf.shape[-1]
@@ -84,5 +92,6 @@ def psf2otf_traced(psf: jnp.ndarray, out_hw) -> jnp.ndarray:
             left, right = padw // 2 + 1, padw // 2 - 1
         pad = [(0, 0)] * (psf.ndim - 2) + [(top, bottom), (left, right)]
         psf = jnp.pad(psf, pad, mode="constant")
-    psf = jnp.fft.ifftshift(psf, axes=(-2, -1))
+    axes = tuple(range(psf.ndim)) if torch_compat_shift else (-2, -1)
+    psf = jnp.fft.ifftshift(psf, axes=axes)
     return jnp.fft.fft2(psf)

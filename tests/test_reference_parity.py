@@ -247,3 +247,91 @@ class TestMoreSolverParity:
         assert not s_jax.least_square.freq_diagonalizable
         out_j = np.asarray(s_jax.solve(x0=b, rhos=0.3, lams=0.1, max_iter=3))
         assert np.allclose(out_j, out_r, atol=1e-3), np.abs(out_j - out_r).max()
+
+
+class TestOpsParityExtra:
+    def test_conv_doe_circular_and_linear(self):
+        psf = RNG.rand(1, 3, 7, 7).astype(np.float32)
+        psf /= psf.sum()
+        for circular in (True, False):
+            x = ref.Variable()
+            op_r = ref.conv_doe(x, psf=torch.from_numpy(psf), circular=circular)
+            with torch.no_grad():
+                out_r = op_r.forward(t(IMG)).numpy()
+                adj_r = op_r.adjoint(t(IMG)).numpy()
+
+            xj = dtp.Variable()
+            op_j = dtp.conv_doe(xj, psf, circular=circular)
+            out_j = np.asarray(dtp.linop.eval(op_j, jnp.asarray(IMG)))
+            adj_j = np.asarray(dtp.linop.adjoint(op_j, jnp.asarray(IMG)))
+            assert np.allclose(out_j, out_r, atol=2e-5), (circular, np.abs(out_j - out_r).max())
+            assert np.allclose(adj_j, adj_r, atol=2e-5), circular
+
+    def test_mul_color(self):
+        srf = RNG.rand(8, 3).astype(np.float32)
+        xm = RNG.rand(1, 8, 8, 8).astype(np.float32)
+        from dprox.linop.mul import mul_color as ref_mul_color
+        from dprox.linop import Placeholder as RefPlaceholder
+
+        # NOTE: the reference's mul_color batchifies a raw srf into
+        # [1,C,C2] and then srf.T @ x fails — only the Placeholder path
+        # (which skips batchify, mul.py:23-26) is functional; use it.
+        x = ref.Variable()
+        ph = RefPlaceholder()
+        op_r = ref_mul_color(x, ph)
+        ph.value = torch.from_numpy(srf)
+        with torch.no_grad():
+            out_r = op_r.forward(t(xm)).numpy()
+
+        xj = dtp.Variable()
+        op_j = dtp.mul_color(xj, srf)
+        out_j = np.asarray(dtp.linop.eval(op_j, jnp.asarray(xm)))
+        assert np.allclose(out_j, out_r, atol=1e-5)
+
+    def test_mul_elementwise(self):
+        w = RNG.rand(1, 3, 32, 32).astype(np.float32)
+        from dprox.linop.mul import mul_elementwise as ref_mul_ew
+
+        x = ref.Variable()
+        op_r = ref_mul_ew(x, torch.from_numpy(w))
+        with torch.no_grad():
+            out_r = op_r.forward(t(IMG)).numpy()
+
+        xj = dtp.Variable()
+        out_j = np.asarray(dtp.linop.eval(dtp.mul_elementwise(xj, w), jnp.asarray(IMG)))
+        assert np.allclose(out_j, out_r, atol=1e-6)
+
+    def test_scale_and_sum_expression(self):
+        x = ref.Variable()
+        expr_r = 2.0 * ref.conv(x, PSF) + ref.grad(x, 0)
+        from dprox.linop import eval as ref_eval
+
+        out_r = ref_eval(expr_r, t(IMG)).numpy()
+
+        xj = dtp.Variable()
+        expr_j = 2.0 * dtp.conv(xj, PSF) + dtp.grad(xj, 0)
+        out_j = np.asarray(dtp.linop.eval(expr_j, jnp.asarray(IMG)))
+        assert np.allclose(out_j, out_r, atol=2e-5)
+
+    def test_nlm_denoiser(self):
+        from dprox.proxfn.nlm.nlm import NonLocalMeansFast
+
+        v = RNG.rand(1, 3, 24, 24).astype(np.float32)
+        sig = 0.1
+        with torch.no_grad():
+            out_r = NonLocalMeansFast()(t(v), torch.tensor(sig)).numpy()
+        from dprox_tpu.proxfn.nlm import nlm_denoise
+
+        out_j = np.asarray(nlm_denoise(jnp.asarray(v), sig))
+        assert np.allclose(out_j, out_r, atol=1e-4), np.abs(out_j - out_r).max()
+
+    def test_tv_denoising_iterations(self):
+        from dprox.proxfn.pnp.denoisers.models.TV_denoising import TV_denoising
+
+        y = RNG.rand(16, 16, 3).astype(np.float32)
+        with torch.no_grad():
+            out_r = TV_denoising(t(y), torch.tensor(0.1), 20).numpy()
+        from dprox_tpu.models.tv import tv_denoising
+
+        out_j = np.asarray(tv_denoising(jnp.asarray(y), 0.1, 20))
+        assert np.allclose(out_j, out_r, atol=1e-5), np.abs(out_j - out_r).max()

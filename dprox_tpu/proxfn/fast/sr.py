@@ -108,7 +108,8 @@ class misr(ext_sum_squares):
         z = b.reshape(b.shape[0], b.shape[1], -1)  # N,3,HW
         Ttz = jnp.einsum("ck,nkp->ncp", srf, z)  # N,C,HW
         v = xtilde.reshape(N, C, H * W)
-        lam = rho.reshape(rho.shape[0], 1, 1)
+        lam = jnp.broadcast_to(jnp.asarray(rho).reshape(-1)[:, None, None],
+                               (N, 1, 1))
         A = T2[None] + n * lam[..., None] * jnp.eye(C)[None]
         rhs = Ttz + lam * v
         x = jnp.linalg.solve(A, rhs)

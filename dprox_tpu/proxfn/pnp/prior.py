@@ -43,6 +43,14 @@ def get_denoiser(kind: str) -> Denoiser:
         from .grunet import GRUNetDenoiser
 
         return GRUNetDenoiser(ckpt_path=find_weights("unet_qrnn3d.pth"))
+    if kind == "qrnn3d":
+        from .grunet import QRNN3DDenoiser
+
+        return QRNN3DDenoiser(ckpt_path=find_weights("qrnn3d.pth"))
+    if kind == "grunet_tv":
+        from .grunet import GRUNetTVDenoiser
+
+        return GRUNetTVDenoiser(ckpt_path=find_weights("unet_qrnn3d.pth"))
     raise KeyError(f"unknown denoiser '{kind}'")
 
 

@@ -144,3 +144,29 @@ def test_solve_differentiable():
     g = jax.grad(loss)(b)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_per_sample_schedules():
+    """rhos/lams can vary per batch element: shape [B, max_iter]."""
+    img, b, fns, x = _deconv_problem()
+    b2 = jnp.concatenate([b, b], axis=0)
+    solver = dp.compile(fns, method="admm")
+    rhos = np.stack([np.full(6, 0.05), np.full(6, 0.5)], axis=0)  # [2, 6]
+    out = solver.solve(x0=b2, max_iter=6, rhos=rhos, lams=0.01)
+    assert out.shape[0] == 2
+    # the two samples used different rho schedules -> different outputs
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]), atol=1e-4)
+
+
+def test_multiple_psi_fns_and_lam_dict():
+    """Two psi blocks (TV + nonneg) with per-fn lam schedules via dict."""
+    img, b, _, _ = _deconv_problem()
+    x = dp.Variable()
+    data = dp.sum_squares(dp.conv(x, imaging.point_spread_function(15, 5)) - b)
+    tv = dp.norm1(dp.grad(x, 0) + dp.grad(x, 1))
+    pos = dp.nonneg(x)
+    solver = dp.compile([data, tv, pos], method="admm")
+    assert len(solver.psi_fns) == 2
+    out = solver.solve(x0=b, max_iter=12, rhos=0.5,
+                       lams={tv: 0.005, pos: 0.01})
+    assert metrics.psnr(out, img) > metrics.psnr(b, img)

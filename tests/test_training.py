@@ -65,3 +65,42 @@ def test_nan_step_is_skipped():
                               log_every=0)
     for leaf in jax.tree.leaves(params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_derain_joint_training_step():
+    """Joint bi-level training of the derain pipeline: gradients flow into
+    the learnable degradation operator, the DGUNet proximal network and
+    the unrolled schedules simultaneously (the SIGGRAPH derain setup)."""
+    from dprox_tpu.contrib.derain import LearnableDegOp
+    from dprox_tpu.models.dgu import DGUDenoiser
+
+    img = imaging.sample("face")[:, :, :32, :32]
+    rainy = jnp.clip(img + 0.1, 0, 1)
+
+    max_iter = 3
+    deg = LearnableDegOp(max_step=max_iter - 2)
+    x = dp.Variable()
+    data = dp.sum_squares(deg.as_linop(x), b=dp.Placeholder("rainy"))
+    prior = dp.unrolled_prior(x, DGUDenoiser(n_feat=8, scale_unetfeats=4,
+                                             scale_orsnetfeats=4),
+                              max_step=max_iter, param_key="dgu")
+    solver = dp.compile([data, prior], method="pgd")
+
+    params0 = {"deg_op": deg.params, "dgu": prior.params,
+               "rhos": jnp.full((max_iter,), 0.5),
+               "lams": jnp.full((max_iter,), 0.1)}
+
+    def loss_fn(p):
+        out = solver.solve(x0=rainy, max_iter=max_iter, rhos=p["rhos"],
+                           lams=p["lams"],
+                           params={"rainy": rainy, "deg_op": p["deg_op"],
+                                   "dgu": p["dgu"]})
+        return jnp.mean((out - img) ** 2)
+
+    loss, g = jax.value_and_grad(loss_fn)(params0)
+    assert np.isfinite(float(loss))
+    # lams carries no gradient by design: unrolled_prior's prox ignores
+    # lam (reference: unrolling/prior.py:18-23)
+    for name in ("deg_op", "dgu", "rhos"):
+        total = sum(float(jnp.abs(t).sum()) for t in jax.tree.leaves(g[name]))
+        assert np.isfinite(total) and total > 0, name

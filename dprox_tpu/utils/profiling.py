@@ -40,7 +40,11 @@ class Timer:
 
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/jax-trace"):
-    """jax.profiler trace context (view in TensorBoard / xprof)."""
+    """jax.profiler trace context (view in TensorBoard / xprof).
+
+    NOTE: may hang on relayed/experimental backends (e.g. the axon
+    tunnel used on this rig) — intended for directly-attached TPUs.
+    """
     jax.profiler.start_trace(logdir)
     try:
         yield logdir

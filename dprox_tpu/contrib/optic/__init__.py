@@ -15,3 +15,4 @@ from .doe_model_hybrid import (
     build_hybrid_doe_model,
     sellmeier_fused_silica,
 )
+from .utils import load_sample_img, sanity_check, normalize_psf, center_crop

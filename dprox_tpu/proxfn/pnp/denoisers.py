@@ -63,8 +63,9 @@ class Denoiser2D(Denoiser):
 class FFDNetDenoiser(Denoiser2D):
     """(reference: wrapper.py:25-35)"""
 
-    def __init__(self, params=None, ckpt_path: Optional[str] = None):
-        self.module = FFDNet(in_nc=1, out_nc=1, nc=64, nb=15)
+    def __init__(self, params=None, ckpt_path: Optional[str] = None,
+                 nc: int = 64, nb: int = 15):
+        self.module = FFDNet(in_nc=1, out_nc=1, nc=nc, nb=nb)
         if params is None and ckpt_path is not None:
             params = self._load(ckpt_path)
         if params is None:
@@ -78,6 +79,11 @@ class FFDNetDenoiser(Denoiser2D):
     def _load(self, path):
         init = self.module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)),
                                 jnp.zeros(()))
+        if path.endswith(".msgpack"):
+            from flax import serialization
+
+            with open(path, "rb") as f:
+                return serialization.from_bytes(init, f.read())
         return torch_to_flax(load_torch_state_dict(path), init)
 
     def _denoise_gray(self, x, sigma, params=None):

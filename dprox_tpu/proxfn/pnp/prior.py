@@ -27,6 +27,12 @@ def get_denoiser(kind: str) -> Denoiser:
     dprox_tpu.proxfn.pnp.hub instead of HuggingFace downloads)."""
     if kind == "ffdnet":
         return FFDNetDenoiser(ckpt_path=find_weights("ffdnet_gray.pth"))
+    if kind == "tiny_ffdnet":
+        # compact grayscale FFDNet trained offline on synthetic data and
+        # shipped in weights/ — a working pretrained deep prior without
+        # network access (see weights/README.md)
+        return FFDNetDenoiser(ckpt_path=find_weights("tiny_ffdnet_gray.msgpack"),
+                              nc=32, nb=8)
     if kind == "ffdnet_color":
         return FFDNetColorDenoiser(ckpt_path=find_weights("ffdnet_color.pth"))
     if kind == "drunet_color":

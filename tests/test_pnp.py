@@ -99,3 +99,25 @@ def test_nlm_prior():
     solver = dp.compile([data, reg], method="admm")
     out = solver.solve(x0=noisy, max_iter=3, rhos=1.0, lams=0.01)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tiny_ffdnet_pretrained_prior():
+    """The shipped compact FFDNet (weights/tiny_ffdnet_gray.msgpack) is a
+    real trained denoiser: substantial denoising gain and a deconv
+    improvement as a PnP prior."""
+    den = dp.get_denoiser("tiny_ffdnet")
+    assert den.pretrained
+
+    img = imaging.sample("face")[:, :1, :128, :128]
+    noisy = img + 0.1 * jax.random.normal(jax.random.key(0), img.shape)
+    out = den.denoise(noisy, 0.1)
+    assert metrics.psnr(out, img) > metrics.psnr(noisy, img) + 4.0
+
+    psf = imaging.point_spread_function(15, 5)
+    b = imaging.blurring(img, psf)
+    x = dp.Variable()
+    solver = dp.compile([dp.sum_squares(dp.conv(x, psf) - b),
+                         dp.deep_prior(x, "tiny_ffdnet", sqrt=True)], "admm")
+    rhos, sigmas = dp.log_descent(35, 10, 24)
+    rec = solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=24)
+    assert metrics.psnr(rec, img) > metrics.psnr(b, img) + 2.0

@@ -64,6 +64,30 @@ class ResNetPolicy(nn.Module):
         return {"rho": rho, "sigmas": sigmas, "idx_stop": jax.nn.sigmoid(stop_logit)}
 
 
+class CriticNet(nn.Module):
+    """Q(ob, action) critic for the DDPG path. Conv encoder over the
+    observation, fused with the flat action vector after global pooling
+    (tfpnp's MDDPG critic is the same shape at larger scale)."""
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, ob, action_vec):
+        x = nn.Conv(self.features, (3, 3), strides=(2, 2))(ob)
+        x = nn.relu(x)
+        for _ in range(2):
+            r = nn.Conv(self.features, (3, 3))(x)
+            r = nn.relu(r)
+            r = nn.Conv(self.features, (3, 3))(r)
+            x = nn.relu(x + r)
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = jnp.mean(x, axis=(1, 2))
+        h = jnp.concatenate([x, action_vec], axis=1)
+        h = nn.relu(nn.Dense(128)(h))
+        h = nn.relu(nn.Dense(128)(h))
+        return nn.Dense(1)(h)[:, 0]
+
+
 class AutoTuneSolver:
     """(reference: solver.py:303-421)"""
 
@@ -162,6 +186,151 @@ class AutoTuneSolver:
 
             save_checkpoint(f"{savedir}/policy.ckpt", params, opt_state, epochs, step, 0.0)
         return params
+
+    # ------------------------------------------------------------------ #
+    # Model-free DDPG path (reference: tfpnp MDDPGTrainer wiring at
+    # rl/solver.py:349-395). Useful when the episode is not end-to-end
+    # differentiable (e.g. non-smooth rewards or black-box proxes).
+    # ------------------------------------------------------------------ #
+
+    def _flat_action(self, action):
+        B = action["rho"].shape[0]
+        stop = jnp.reshape(action["idx_stop"], (B, 1))
+        return jnp.concatenate([action["rho"].reshape(B, -1),
+                                action["sigmas"].reshape(B, -1), stop], axis=1)
+
+    def _action_from_flat(self, vec):
+        pack = self.action_pack
+        npsi = self.policy.num_psi
+        rho = jnp.clip(vec[:, :pack], 1e-6, None)
+        sig = jnp.clip(vec[:, pack:pack + npsi * pack], 1e-8, None)
+        return {"rho": rho, "sigmas": sig.reshape(-1, npsi, pack),
+                "idx_stop": jnp.clip(vec[:, -1], 0.0, 1.0)}
+
+    def train_ddpg(self, dataset, epochs: int = 1, actor_lr: float = 1e-4,
+                   critic_lr: float = 3e-4, gamma: float = 0.99,
+                   tau: float = 0.005, noise_scale: float = 0.05,
+                   batch_size: int = 16, buffer_size: int = 2048,
+                   warmup: int = 8, updates_per_step: int = 1,
+                   loop_penalty: float = 0.05, log_every: int = 0,
+                   seed: int = 0):
+        """Off-policy DDPG: replay buffer + target networks + Polyak
+        averaging. Reward per macro-step is the PSNR gain of the solver
+        state minus ``loop_penalty`` (tfpnp's reward shaping). Returns the
+        trained policy params (also stored on ``self.policy_params``)."""
+        rng = np.random.RandomState(seed)
+        critic = CriticNet()
+
+        # Probe one sample to shape the networks/buffer.
+        sample0 = next(iter(dataset))
+        x0 = to_jax_array(sample0["x0"], batch=True).astype(jnp.float32)
+        solve_params0 = {k: v for k, v in sample0.items()
+                         if k not in ("x0", "gt")}
+        state0 = self.solver.initialize(x0, solve_params0)
+        ob0 = self._policy_ob(state0, 0, x0)
+        a0 = self._flat_action(self.policy.apply(self.policy_params, ob0))
+        act_dim = a0.shape[1]
+
+        actor_params = self.policy_params
+        critic_params = critic.init(jax.random.key(seed), ob0, a0)
+        actor_target, critic_target = actor_params, critic_params
+        actor_tx, critic_tx = optax.adam(actor_lr), optax.adam(critic_lr)
+        actor_opt = actor_tx.init(actor_params)
+        critic_opt = critic_tx.init(critic_params)
+
+        @jax.jit
+        def critic_update(cp, c_opt, at, ct, ob, act, rew, nob, done):
+            na = self._flat_action(self.policy.apply(at, nob))
+            q_next = critic.apply(ct, nob, na)
+            y = rew + gamma * (1.0 - done) * q_next
+
+            def loss_fn(p):
+                q = critic.apply(p, ob, act)
+                return jnp.mean((q - y) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(cp)
+            upd, c_opt = critic_tx.update(grads, c_opt)
+            return optax.apply_updates(cp, upd), c_opt, loss
+
+        @jax.jit
+        def actor_update(ap, a_opt, cp, ob):
+            def loss_fn(p):
+                a = self._flat_action(self.policy.apply(p, ob))
+                return -jnp.mean(critic.apply(cp, ob, a))
+
+            loss, grads = jax.value_and_grad(loss_fn)(ap)
+            upd, a_opt = actor_tx.update(grads, a_opt)
+            return optax.apply_updates(ap, upd), a_opt, loss
+
+        @jax.jit
+        def polyak(target, online):
+            return jax.tree.map(lambda t, p: (1 - tau) * t + tau * p,
+                                target, online)
+
+        def psnr(x, gt):
+            mse = jnp.mean((jnp.real(x) - gt) ** 2, axis=(1, 2, 3))
+            return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+        buf = {"ob": [], "act": [], "rew": [], "nob": [], "done": []}
+
+        def buf_push(ob, act, rew, nob, done):
+            for k, v in zip(buf, (ob, act, rew, nob, done)):
+                buf[k].extend(np.asarray(v))
+                if len(buf[k]) > buffer_size:
+                    buf[k] = buf[k][-buffer_size:]
+
+        step = 0
+        for epoch in range(epochs):
+            for sample in dataset:
+                x0 = to_jax_array(sample["x0"], batch=True).astype(jnp.float32)
+                gt = to_jax_array(sample["gt"], batch=True).astype(jnp.float32)
+                solve_params = {k: v for k, v in sample.items()
+                                if k not in ("x0", "gt")}
+                state = self.solver.initialize(x0, solve_params)
+                last_psnr = psnr(state[0], gt)
+                ob = self._policy_ob(state, 0, x0)
+                for i in range(self.max_episode_step):
+                    a = self._flat_action(
+                        self.policy.apply(actor_params, ob))
+                    a = np.asarray(a) + noise_scale * rng.randn(*a.shape)
+                    action = self._action_from_flat(jnp.asarray(a, jnp.float32))
+                    lams = [action["sigmas"][:, j]
+                            for j in range(len(self.solver.psi_fns))]
+                    state = self.solver.iters(
+                        state, action["rho"], lams, self.action_pack,
+                        params=solve_params, x_ref=x0)
+                    new_psnr = psnr(state[0], gt)
+                    rew = new_psnr - last_psnr - loop_penalty
+                    last_psnr = new_psnr
+                    nob = self._policy_ob(state, i + 1, x0)
+                    done = np.full((ob.shape[0],),
+                                   float(i == self.max_episode_step - 1),
+                                   np.float32)
+                    buf_push(ob, self._flat_action(action), rew, nob, done)
+                    ob = nob
+                    step += 1
+
+                    if len(buf["ob"]) >= max(warmup, batch_size):
+                        for _ in range(updates_per_step):
+                            idx = rng.randint(0, len(buf["ob"]), batch_size)
+                            batch = {k: jnp.asarray(
+                                np.stack([buf[k][j] for j in idx]))
+                                for k in buf}
+                            critic_params, critic_opt, c_loss = critic_update(
+                                critic_params, critic_opt, actor_target,
+                                critic_target, batch["ob"], batch["act"],
+                                batch["rew"], batch["nob"], batch["done"])
+                            actor_params, actor_opt, a_loss = actor_update(
+                                actor_params, actor_opt, critic_params,
+                                batch["ob"])
+                            actor_target = polyak(actor_target, actor_params)
+                            critic_target = polyak(critic_target, critic_params)
+                            if log_every and step % log_every == 0:
+                                print(f"[ddpg] step {step} critic "
+                                      f"{float(c_loss):.4f} actor "
+                                      f"{float(a_loss):.4f}")
+        self.policy_params = actor_params
+        return actor_params
 
     def load(self, path: str):
         import pickle

@@ -122,6 +122,22 @@ class TestAutoTune:
         out2 = tuner.solve(b, params=params)
         assert np.isfinite(np.asarray(out2)).all()
 
+    def test_train_ddpg(self):
+        img, b, fns = _small_problem(H=32)
+        solver = dp.compile(fns, method="admm")
+        tuner = AutoTuneSolver(solver, action_pack=2, max_episode_step=2)
+        before = tuner.policy_params
+        dataset = [{"x0": b, "gt": img}] * 3
+        params = tuner.train_ddpg(dataset, epochs=1, batch_size=4, warmup=4,
+                                  noise_scale=0.02)
+        # params actually updated by the actor step
+        leaves_b = jax.tree.leaves(before)
+        leaves_a = jax.tree.leaves(params)
+        assert any(not np.allclose(np.asarray(x), np.asarray(y))
+                   for x, y in zip(leaves_b, leaves_a))
+        out = tuner.solve(b, params=params)
+        assert np.isfinite(np.asarray(out)).all()
+
 
 def test_specialize_registry():
     img, b, fns = _small_problem()

@@ -95,12 +95,19 @@ class FFDNetDenoiser(Denoiser2D):
 class FFDNetColorDenoiser(Denoiser):
     """(reference: wrapper.py:38-48)"""
 
-    def __init__(self, params=None, ckpt_path: Optional[str] = None):
-        self.module = FFDNet(in_nc=3, out_nc=3, nc=96, nb=12)
+    def __init__(self, params=None, ckpt_path: Optional[str] = None,
+                 nc: int = 96, nb: int = 12):
+        self.module = FFDNet(in_nc=3, out_nc=3, nc=nc, nb=nb)
         init = self.module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
                                 jnp.zeros(()))
         if params is None and ckpt_path is not None:
-            params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
+            if ckpt_path.endswith(".msgpack"):
+                from flax import serialization
+
+                with open(ckpt_path, "rb") as f:
+                    params = serialization.from_bytes(init, f.read())
+            else:
+                params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
         super().__init__(params if params is not None else None)
         if self.params is None:
             self.params = init

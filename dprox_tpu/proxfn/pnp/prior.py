@@ -35,6 +35,10 @@ def get_denoiser(kind: str) -> Denoiser:
                               nc=32, nb=8)
     if kind == "ffdnet_color":
         return FFDNetColorDenoiser(ckpt_path=find_weights("ffdnet_color.pth"))
+    if kind == "tiny_ffdnet_color":
+        # compact color FFDNet trained offline (scripts/train_tiny_denoiser.py)
+        return FFDNetColorDenoiser(
+            ckpt_path=find_weights("tiny_ffdnet_color.msgpack"), nc=32, nb=8)
     if kind == "drunet_color":
         return DRUNetDenoiser(3, ckpt_path=find_weights("drunet_color.pth"))
     if kind == "drunet":

@@ -1,0 +1,151 @@
+"""Train the compact "tiny_ffdnet" denoisers shipped in weights/.
+
+The reference ships pretrained FFDNet/DRUNet/... weights from
+HuggingFace (reference: dprox/utils/huggingface.py:36-93); this
+environment has zero egress, so we train compact FFDNets (nc=32, nb=8)
+in-repo on deterministic synthetic textured images and ship the
+msgpack-serialized params. Usage:
+
+    python scripts/train_tiny_denoiser.py --channels 1   # gray
+    python scripts/train_tiny_denoiser.py --channels 3   # color
+
+Training runs on whatever backend JAX selects (TPU under axon); steps
+are batched into jitted lax.scan chunks so relay dispatch overhead is
+amortized.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from dprox_tpu.models import FFDNet
+
+
+# --------------------------------------------------------------------------- #
+# Deterministic synthetic image corpus: piecewise-constant shapes, smooth
+# gradients, sinusoidal textures, and blurred noise fields — enough visual
+# statistics (edges, flats, textures) for a denoiser prior to be useful on
+# natural images.
+# --------------------------------------------------------------------------- #
+
+def synth_images(n: int, size: int, channels: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    out = np.zeros((n, size, size, channels), np.float32)
+    for i in range(n):
+        img = np.zeros((size, size, channels), np.float32)
+        # smooth background gradient
+        a, b, c = rng.rand(3, channels).astype(np.float32)
+        img += a * yy[..., None] + b * xx[..., None] + 0.3 * c
+        # random rectangles / ellipses
+        for _ in range(rng.randint(2, 8)):
+            cy, cx = rng.rand(2) * size
+            hy, hx = rng.rand(2) * size * 0.3 + 2
+            col = rng.rand(channels).astype(np.float32)
+            if rng.rand() < 0.5:
+                mask = (np.abs(np.arange(size)[:, None] - cy) < hy) & \
+                       (np.abs(np.arange(size)[None, :] - cx) < hx)
+            else:
+                mask = (((np.arange(size)[:, None] - cy) / hy) ** 2 +
+                        ((np.arange(size)[None, :] - cx) / hx) ** 2) < 1.0
+            img[mask] = col
+        # sinusoidal texture band
+        if rng.rand() < 0.7:
+            f = rng.rand(2) * 16 + 1
+            ph = rng.rand() * 6.28
+            tex = 0.5 + 0.5 * np.sin(2 * np.pi * (f[0] * yy + f[1] * xx) + ph)
+            w = rng.rand() * 0.4
+            img = (1 - w) * img + w * tex[..., None]
+        # blurred noise field (low-frequency clutter)
+        if rng.rand() < 0.5:
+            z = rng.randn(size // 8, size // 8, channels).astype(np.float32)
+            z = np.kron(z, np.ones((8, 8, 1), np.float32))
+            img += 0.15 * z
+        out[i] = np.clip(img, 0.0, 1.0)
+    return out
+
+
+def train(channels: int, nc: int = 32, nb: int = 8, size: int = 64,
+          n_images: int = 512, batch: int = 32, steps: int = 15000,
+          chunk: int = 200, lr: float = 1e-3, sigma_max: float = 0.3,
+          seed: int = 0, out_path: str | None = None):
+    model = FFDNet(in_nc=channels, out_nc=channels, nc=nc, nb=nb)
+    data = jnp.asarray(synth_images(n_images, size, channels, seed))
+
+    params = model.init(jax.random.key(seed),
+                        jnp.zeros((1, size, size, channels)), jnp.zeros(()))
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
+    tx = optax.adam(sched)
+    opt_state = tx.init(params)
+
+    def one_step(carry, key):
+        params, opt_state = carry
+        k1, k2, k3 = jax.random.split(key, 3)
+        idx = jax.random.randint(k1, (batch,), 0, n_images)
+        clean = data[idx]
+        sigma = jax.random.uniform(k2, (batch,), maxval=sigma_max)
+        noisy = clean + sigma[:, None, None, None] * \
+            jax.random.normal(k3, clean.shape)
+
+        def loss_fn(p):
+            den = model.apply(p, noisy, sigma)
+            return jnp.mean((den - clean) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, upd)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def run_chunk(params, opt_state, key):
+        keys = jax.random.split(key, chunk)
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, jnp.mean(losses)
+
+    key = jax.random.key(seed + 1)
+    for i in range(steps // chunk):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = run_chunk(params, opt_state, sub)
+        if i % 5 == 0:
+            print(f"step {(i + 1) * chunk}/{steps} loss {float(loss):.6f}",
+                  flush=True)
+
+    # quick eval at sigma=0.1
+    rng = np.random.RandomState(123)
+    clean = jnp.asarray(synth_images(16, size, channels, seed=999))
+    noisy = clean + 0.1 * jnp.asarray(rng.randn(*clean.shape), jnp.float32)
+    den = model.apply(params, noisy, jnp.full((16,), 0.1))
+    def psnr(a, b):
+        return -10 * np.log10(float(jnp.mean((a - b) ** 2)))
+    print(f"eval sigma=0.1: noisy {psnr(noisy, clean):.2f} dB -> "
+          f"denoised {psnr(den, clean):.2f} dB")
+
+    name = {1: "tiny_ffdnet_gray", 3: "tiny_ffdnet_color"}[channels]
+    out_path = out_path or os.path.join(os.path.dirname(__file__), "..",
+                                        "weights", f"{name}.msgpack")
+    with open(out_path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+    print(f"saved {out_path} ({os.path.getsize(out_path) // 1024} KB)")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", type=int, default=1, choices=(1, 3))
+    ap.add_argument("--steps", type=int, default=15000)
+    ap.add_argument("--nc", type=int, default=32)
+    ap.add_argument("--nb", type=int, default=8)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+    train(args.channels, nc=args.nc, nb=args.nb, steps=args.steps,
+          out_path=args.out)

@@ -121,3 +121,26 @@ def test_tiny_ffdnet_pretrained_prior():
     rhos, sigmas = dp.log_descent(35, 10, 24)
     rec = solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=24)
     assert metrics.psnr(rec, img) > metrics.psnr(b, img) + 2.0
+
+
+def test_tiny_ffdnet_color_pretrained_prior():
+    """The shipped compact color FFDNet (weights/tiny_ffdnet_color.msgpack,
+    scripts/train_tiny_denoiser.py) drives the flagship color PnP deconv
+    pipeline (the reference's README quickstart uses ffdnet_color)."""
+    den = dp.get_denoiser("tiny_ffdnet_color")
+    assert den.pretrained
+
+    img = imaging.sample("face")[:, :, :128, :128]
+    noisy = img + 0.1 * jax.random.normal(jax.random.key(0), img.shape)
+    out = den.denoise(noisy, 0.1)
+    assert metrics.psnr(out, img) > metrics.psnr(noisy, img) + 4.0
+
+    psf = imaging.point_spread_function(15, 5)
+    b = imaging.blurring(img, psf)
+    x = dp.Variable()
+    solver = dp.compile([dp.sum_squares(dp.conv(x, psf) - b),
+                         dp.deep_prior(x, "tiny_ffdnet_color", sqrt=True)],
+                        "admm")
+    rhos, sigmas = dp.log_descent(35, 10, 24)
+    rec = solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=24)
+    assert metrics.psnr(rec, img) > metrics.psnr(b, img) + 2.0

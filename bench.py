@@ -143,8 +143,23 @@ def torch_reference_its_per_sec(iters=50):
         return None
 
 
+def iters_to_pd_residual(tol=1e-4, cap=512):
+    """Iterations until relative primal AND dual residuals < tol (the
+    second half of the BASELINE.json metric). The iteration count is a
+    property of the math (identical for any correct implementation), so
+    baseline wall-clock = count / baseline its/s."""
+    solver, img, b = build_problem()
+    out, res = solver.solve_with_residuals(x0=b, max_iter=cap,
+                                           rhos=0.05, lams=0.01)
+    rp = np.asarray(res["r_primal"])
+    rd = np.asarray(res["r_dual"])
+    ok = np.where((rp < tol) & (rd < tol))[0]
+    return (int(ok[0]) + 1) if len(ok) else None
+
+
 def main():
     its_per_sec, out, img = bench_admm()
+    k_star = iters_to_pd_residual()
     baseline = reference_dprox_its_per_sec()
     baseline_kind = "reference_dprox_cpu"
     if baseline is None:
@@ -158,6 +173,11 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "baseline_its_per_sec": round(baseline, 2) if baseline else None,
         "baseline_kind": baseline_kind,
+        "iters_to_pd_residual_1e-4": k_star,
+        "wallclock_to_pd_residual_1e-4_s":
+            round(k_star / its_per_sec, 4) if k_star else None,
+        "baseline_wallclock_to_pd_residual_1e-4_s":
+            round(k_star / baseline, 4) if (k_star and baseline) else None,
         "device": str(jax.devices()[0]),
     }))
 

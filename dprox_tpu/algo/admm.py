@@ -66,6 +66,33 @@ class ADMM(Algorithm):
             u_new.append(u[i] + Kx[i] - vi)
         return (x, tuple(v_new), tuple(u_new))
 
+    def residuals(self, prev_state, state, rho, params):
+        """Classic scaled-ADMM residuals (Boyd et al. §3.3), relative:
+        r_p = ||Kx - v|| / max(||Kx||, ||v||),
+        r_d = ||K^T (v - v_prev)|| / max(||K^T u||, ||K^T v||)
+        (s = rho K^T dv and y = rho u, so rho cancels; the ||K^T v||
+        fallback keeps the scale finite when the dual is identically
+        zero, i.e. all constraints inactive). Also valid for ADMM_vxu's
+        (z, x, u) state, whose slots play the same lsq-variable /
+        prox-output / dual roles."""
+        x, v, u = state
+        v_prev = prev_state[1]
+
+        def nrm(ts):
+            return jnp.sqrt(sum(jnp.sum(jnp.abs(t) ** 2) for t in ts))
+
+        Kx = self.K_forward(x, params)
+        n = len(self.psi_fns)
+        r_p = nrm([Kx[i] - v[i] for i in range(n)])
+        p_scale = jnp.maximum(nrm(Kx), nrm(v)) + 1e-12
+        s = [self.psi_fns[i].dag_adjoint(v[i] - v_prev[i], params)
+             for i in range(n)]
+        y = [self.psi_fns[i].dag_adjoint(u[i], params) for i in range(n)]
+        Ktv = [self.psi_fns[i].dag_adjoint(v[i], params) for i in range(n)]
+        r_d = nrm(s)
+        d_scale = jnp.maximum(nrm(y), nrm(Ktv)) + 1e-12
+        return {"r_primal": r_p / p_scale, "r_dual": r_d / d_scale}
+
     @property
     def nparams(self):
         return len(self.psi_fns) + 1

@@ -190,17 +190,7 @@ class Algorithm:
         (reference: base.py:85-126 — here the loop is a jitted lax.scan
         unless a Python ``callback`` is requested.)
         """
-        # complex inputs stay host-side numpy until the jit boundary:
-        # complex host<->device transfers are unimplemented on axon
-        if isinstance(x0, np.ndarray) and np.iscomplexobj(x0):
-            if x0.ndim == 3 and x0.shape[2] in (1, 3):
-                x0 = x0.transpose(2, 0, 1)
-            while x0.ndim < 4:
-                x0 = x0[None]
-            x0 = x0.astype(np.complex64)
-        else:
-            x0 = to_jax_array(x0, batch=True)
-            x0 = x0.astype(jnp.complex64 if jnp.iscomplexobj(x0) else jnp.float32)
+        x0 = self._prepare_x0(x0)
         rhos, lam_list = self.defaults(rhos, lams, max_iter)
         params = dict(params) if params else {}
 
@@ -224,6 +214,67 @@ class Algorithm:
         run = self._get_jitted(return_full_states, real_output)
         state = run(encode_complex(x0), rhos, lam_list, encode_complex(params))
         return state if return_full_states else state[0]
+
+    @staticmethod
+    def _prepare_x0(x0):
+        # complex inputs stay host-side numpy until the jit boundary:
+        # complex host<->device transfers are unimplemented on axon
+        if isinstance(x0, np.ndarray) and np.iscomplexobj(x0):
+            if x0.ndim == 3 and x0.shape[2] in (1, 3):
+                x0 = x0.transpose(2, 0, 1)
+            while x0.ndim < 4:
+                x0 = x0[None]
+            return x0.astype(np.complex64)
+        x0 = to_jax_array(x0, batch=True)
+        return x0.astype(jnp.complex64 if jnp.iscomplexobj(x0) else jnp.float32)
+
+    def residuals(self, prev_state, state, rho, params):
+        """Relative primal/dual residual norms for one iteration, or None
+        if the algorithm has no consensus splitting (overridden by the
+        ADMM family)."""
+        return None
+
+    def solve_with_residuals(self, x0=None, rhos=None, lams=None,
+                             max_iter: int = 24,
+                             params: Optional[Params] = None,
+                             real_output: bool = True):
+        """Jitted solve that also records relative primal/dual residual
+        norms per iteration — the convergence observability the
+        reference only provides on its LP path (lp/solvers.py:324-336).
+        Returns ``(x, {'r_primal': [T], 'r_dual': [T]})``."""
+        x0 = self._prepare_x0(x0)
+        rhos, lam_list = self.defaults(rhos, lams, max_iter)
+        params = dict(params) if params else {}
+        key = ("residuals", real_output)
+        if key not in self._jit_cache:
+
+            def _run(x0, rhos, lam_list, params):
+                x0 = decode_complex(x0)
+                params = decode_complex(params)
+                state = self.initialize(x0, params)
+                offsets = self.prepare_aux(x0, params)
+                probe = self.residuals(state, state, rhos[0],
+                                       dict(params, __step__=0))
+                if probe is None:
+                    raise NotImplementedError(
+                        f"{type(self).__name__} does not track primal/dual "
+                        "residuals (no consensus splitting); use "
+                        "solve(callback=...) for custom convergence metrics")
+
+                def body(st, xs):
+                    step, rho, lam = xs
+                    p_it = dict(params, __step__=step)
+                    new = self._iter(st, rho, list(lam), step, p_it, offsets)
+                    return new, self.residuals(st, new, rho, p_it)
+
+                xs = (jnp.arange(rhos.shape[0]), rhos, lam_list)
+                state, res = jax.lax.scan(body, state, xs)
+                out = jnp.real(state[0]) if real_output else state[0]
+                return out, res
+
+            self._jit_cache[key] = jax.jit(_run)
+        return self._jit_cache[key](encode_complex(x0), rhos, lam_list,
+                                    encode_complex(params))
 
     def iters(self, state, rhos, lam_list, max_iter: int,
               params: Optional[Params] = None, offsets=None, x_ref=None):

@@ -23,6 +23,10 @@ class HQS(ADMM):
         )
         return (x, z_new)
 
+    def residuals(self, prev_state, state, rho, params):
+        # no dual variables / consensus splitting in HQS
+        return None
+
     @property
     def state_split(self):
         return [1, [len(self.psi_fns)]]

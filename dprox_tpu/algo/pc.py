@@ -42,6 +42,11 @@ class PockChambolle(ADMM):
         z = tuple(jnp.zeros_like(e) for e in self.K_forward(x, params))
         return (x, z, x)
 
+    def residuals(self, prev_state, state, rho, params):
+        # PDHG state (x, z-duals, xbar) does not fit the ADMM
+        # consensus-residual template
+        return None
+
     def _iter(self, state, rho, lam, step, params, aux):
         x, z, xbar = state
 

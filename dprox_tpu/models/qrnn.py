@@ -156,37 +156,57 @@ class GRUnet(nn.Module):
 
 
 class QRNNREDC3D(nn.Module):
-    """QRNN3D encoder-decoder (reference: qrnn3d.py:5-47), simplified to
-    the standard config (channels=16, 5 half layers, downsample at [1,3])."""
+    """QRNN3D encoder-decoder (reference: qrnn3d.py:5-47). Skip wiring is
+    the reference's exactly (decoder layer -> add popped encoder skip;
+    feature map re-added after the last decoder layer; band-0 input skip
+    after reconstruction). The reference's config axes are supported:
+    ``sample_idx`` (which encoder layers downsample), ``has_ad``
+    (alternating scan direction), ``plain`` (no spatial resampling),
+    ``is_2d`` (per-band (1,3,3) kernels)."""
 
     in_channels: int = 1
     channels: int = 16
     num_half_layer: int = 5
     sample_idx: Sequence[int] = (1, 3)
+    has_ad: bool = True
+    plain: bool = False
+    is_2d: bool = False
+    act: str = "tanh"
 
     @nn.compact
     def __call__(self, x):
-        feat = BiQRNNConv3D(self.channels)(x)
+        k = (1, 3, 3) if self.is_2d else (3, 3, 3)
+        down = (1, 1, 1) if self.plain else (1, 2, 2)
+        feat = BiQRNNConv3D(self.channels, k=k, act=self.act)(x)
         xs = [feat]
         out = feat
         ch = self.channels
         reverse = False
         for i in range(self.num_half_layer):
             if i in self.sample_idx:
-                out = QRNNConv3D(ch * 2, s=(1, 2, 2))(out, reverse=reverse)
+                out = QRNNConv3D(ch * 2, k=k, s=down, act=self.act)(
+                    out, reverse=reverse)
                 ch *= 2
             else:
-                out = QRNNConv3D(ch)(out, reverse=reverse)
+                out = QRNNConv3D(ch, k=k, act=self.act)(out, reverse=reverse)
             xs.append(out)
-            reverse = not reverse
+            if self.has_ad:
+                reverse = not reverse
         xs.pop()
         for i in reversed(range(self.num_half_layer)):
             if i in self.sample_idx:
                 ch //= 2
-                out = QRNNConv3D(ch, upsample=(1, 2, 2))(out, reverse=reverse)
+                if self.plain:
+                    out = QRNNConv3D(ch, k=k, act=self.act)(out,
+                                                            reverse=reverse)
+                else:
+                    out = QRNNConv3D(ch, k=k, upsample=(1, 2, 2),
+                                     act=self.act)(out, reverse=reverse)
             else:
-                out = QRNNConv3D(ch)(out, reverse=reverse)
+                out = QRNNConv3D(ch, k=k, act=self.act)(out, reverse=reverse)
             out = out + xs.pop()
-            reverse = not reverse
-        out = BiQRNNConv3D(1, bias=True, act="none")(out)
+            if self.has_ad:
+                reverse = not reverse
+        final_act = "none" if self.act == "relu" else self.act
+        out = BiQRNNConv3D(1, k=k, bias=True, act=final_act)(out)
         return out + x[..., :1]

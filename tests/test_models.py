@@ -119,3 +119,23 @@ def test_pixel_shuffle_roundtrip_torch_order():
     assert np.allclose(np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1))
     back = pixel_shuffle(ours, 2)
     assert np.allclose(np.asarray(back), x)
+
+
+def test_qrnnredc3d_config_axes():
+    """QRNNREDC3D supports the reference's config axes (qrnn3d.py:5-47):
+    sample_idx / has_ad / plain / is_2d / act."""
+    from dprox_tpu.models.qrnn import QRNNREDC3D
+
+    x = jnp.ones((1, 8, 16, 16, 1))
+    outs = []
+    for kw in (dict(), dict(has_ad=False), dict(plain=True),
+               dict(is_2d=True), dict(act="relu"),
+               dict(sample_idx=(0, 2), num_half_layer=4)):
+        m = QRNNREDC3D(**kw)
+        p = m.init(jax.random.key(0), x)
+        y = m.apply(p, x)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
+        outs.append(float(jnp.mean(y)))
+    # the config axes genuinely change the computation
+    assert len({round(v, 5) for v in outs}) == len(outs)

@@ -40,8 +40,13 @@ def consensus_admm(local_prox: Callable, z0: jnp.ndarray, local_args,
         u = jnp.zeros_like(x)
         # local primal/dual are device-varying (their values diverge per
         # shard); mark them so the scan carry type is stable
-        x = jax.lax.pvary(x, axis)
-        u = jax.lax.pvary(u, axis)
+        pvary = getattr(jax.lax, "pcast", None)
+        if pvary is not None:
+            x = jax.lax.pcast(x, axis, to="varying")
+            u = jax.lax.pcast(u, axis, to="varying")
+        else:  # older jax
+            x = jax.lax.pvary(x, axis)
+            u = jax.lax.pvary(u, axis)
 
         def step(carry, _):
             x, u, z = carry

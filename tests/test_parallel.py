@@ -110,3 +110,22 @@ def test_sharded_batched_solve_matches_single(mesh):
     assert out_shard.shape[0] == 8
     assert np.allclose(np.asarray(out_shard[0]), np.asarray(out_single),
                        atol=1e-4)
+
+
+def test_sharded_denoise_exact_vs_unsharded():
+    """Halo-exchange spatial sharding reproduces unsharded denoiser
+    output exactly when halo >= receptive-field radius (the distributed
+    analog of the reference's DRUNet refield tiling, wrapper.py:112-146)."""
+    from dprox_tpu.parallel import sharded_denoise
+
+    den = dp.get_denoiser("tiny_ffdnet")
+    img = imaging.sample("face")[:, :1, :256, :256]
+    noisy = img + 0.1 * jax.random.normal(jax.random.key(0), img.shape)
+
+    full = den.denoise(noisy, 0.1)
+
+    smesh = create_mesh(("space",))
+    out = sharded_denoise(lambda blk: den.denoise(blk, 0.1), noisy, smesh,
+                          axis="space", halo=16)
+    assert out.shape == noisy.shape
+    assert np.allclose(np.asarray(out), np.asarray(full), atol=2e-5)

@@ -24,6 +24,8 @@ def main():
     y = dp.Placeholder("y")
     mask = dp.Placeholder("mask", batch=False)
     data_term = dp.csmri(x, mask, y)
+    # the shipped tiny_ffdnet prior also works here; TV gives the
+    # better PSNR among the offline-available priors
     denoiser = "unet" if find_weights("unet-nm.pt") else "tv"
     reg_term = dp.deep_prior(x, denoiser=denoiser, sqrt=True)
 

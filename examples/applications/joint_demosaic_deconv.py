@@ -24,6 +24,8 @@ def main():
 
     x = dp.Variable()
     data_term = dp.sum_squares(dp.mosaic(dp.conv(x, psf)) - b)
+    # the shipped tiny_ffdnet_color prior also works here (sqrt=True);
+    # TV gives the better PSNR among the offline-available priors
     denoiser = "ffdnet_color" if find_weights("ffdnet_color.pth") else "tv"
     reg_term = dp.deep_prior(x, denoiser=denoiser)
 

@@ -25,6 +25,8 @@ def main():
     kernel = np.transpose(psf, (2, 0, 1))[None]  # [1,1,k,k]
     data_term = dp.sisr(x, dp.utils.array(np.asarray(y)),
                         dp.utils.array(kernel), sf)
+    # the shipped tiny_ffdnet_color prior also works here (sqrt=True);
+    # TV gives the better PSNR among the offline-available priors
     denoiser = "ffdnet_color" if find_weights("ffdnet_color.pth") else "tv"
     reg_term = dp.deep_prior(x, denoiser=denoiser)
     prob = dp.Problem(data_term + reg_term)

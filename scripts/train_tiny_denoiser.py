@@ -71,6 +71,17 @@ def synth_images(n: int, size: int, channels: int, seed: int = 0) -> np.ndarray:
             z = rng.randn(size // 8, size // 8, channels).astype(np.float32)
             z = np.kron(z, np.ones((8, 8, 1), np.float32))
             img += 0.15 * z
+        # 1/f ("pink") field — natural-image spectral statistics
+        if rng.rand() < 0.7:
+            fy = np.fft.fftfreq(size)[:, None]
+            fx = np.fft.fftfreq(size)[None, :]
+            amp = 1.0 / np.maximum(np.sqrt(fy ** 2 + fx ** 2), 1.0 / size)
+            spec = (rng.randn(size, size, channels) +
+                    1j * rng.randn(size, size, channels))
+            pink = np.real(np.fft.ifft2(spec * amp[..., None], axes=(0, 1)))
+            pink = (pink - pink.min()) / (np.ptp(pink) + 1e-9)
+            w = rng.rand() * 0.6 + 0.2
+            img = (1 - w) * img + w * pink.astype(np.float32)
         out[i] = np.clip(img, 0.0, 1.0)
     return out
 

@@ -70,12 +70,19 @@ class deep_prior(ProxFn):
     def __init__(self, linop, denoiser: Union[str, Denoiser] = "ffdnet",
                  x8: bool = False, clamp: bool = False, trainable: bool = False,
                  unroll_step: Optional[int] = None, sqrt: bool = False,
-                 param_key: Optional[str] = None):
+                 param_key: Optional[str] = None, spatial_mesh=None,
+                 spatial_axis: str = "space", spatial_halo: int = 16):
+        """``spatial_mesh``: run denoiser inference spatially sharded over
+        this mesh axis with halo exchange (parallel.sharded_denoise) —
+        exact vs unsharded when halo covers the receptive field."""
         super().__init__(linop)
         self.name = denoiser if isinstance(denoiser, str) else type(denoiser).__name__
         self.denoiser = get_denoiser(denoiser) if isinstance(denoiser, str) else denoiser
         if x8:
             self.denoiser = Augment(self.denoiser)
+        self.spatial_mesh = spatial_mesh
+        self.spatial_axis = spatial_axis
+        self.spatial_halo = spatial_halo
         self.clamp = clamp
         self.sqrt = sqrt
         self.trainable = trainable
@@ -114,7 +121,24 @@ class deep_prior(ProxFn):
         squeeze = v.ndim == 3
         inp = v[:, None] if squeeze else v
         dp = self._denoiser_params(params, step)
-        out = self.denoiser.denoise(inp, sigma.reshape(-1), params=dp)
+        if self.spatial_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ...parallel.spatial import sharded_denoise
+
+            out = sharded_denoise(
+                lambda blk: self.denoiser.denoise(blk, sigma.reshape(-1),
+                                                  params=dp),
+                inp, self.spatial_mesh, axis=self.spatial_axis,
+                halo=self.spatial_halo)
+            # the downstream FFT x-update mixes rows globally, so gather
+            # the shards right away (XLA would insert the collective at
+            # the FFT anyway; the explicit constraint also sidesteps an
+            # XLA-CPU fft layout RET_CHECK in host emulation)
+            out = jax.lax.with_sharding_constraint(
+                out, NamedSharding(self.spatial_mesh, P()))
+        else:
+            out = self.denoiser.denoise(inp, sigma.reshape(-1), params=dp)
         out = out.astype(v.dtype) if not jnp.iscomplexobj(v) else out
         return out.reshape(v.shape)
 

@@ -129,3 +129,31 @@ def test_sharded_denoise_exact_vs_unsharded():
                           axis="space", halo=16)
     assert out.shape == noisy.shape
     assert np.allclose(np.asarray(out), np.asarray(full), atol=2e-5)
+
+
+def test_pnp_solve_with_sharded_prior_matches_unsharded():
+    """A full PnP ADMM solve whose deep-prior prox runs spatially
+    sharded over the mesh matches the unsharded solve."""
+    smesh = create_mesh(("space",))
+    img = imaging.sample("face")[:, :1, :256, :256]
+    psf = imaging.point_spread_function(15, 5)
+    b = imaging.blurring(img, psf)
+    x = dp.Variable()
+    data = dp.sum_squares(dp.conv(x, psf) - b)
+
+    ref_solver = dp.compile([data, dp.deep_prior(x, "tiny_ffdnet",
+                                                 sqrt=True)], "admm")
+    sh_solver = dp.compile([data, dp.deep_prior(
+        x, "tiny_ffdnet", sqrt=True, spatial_mesh=smesh,
+        spatial_halo=16)], "admm")
+    rhos, sigmas = dp.log_descent(35, 10, 4)
+    # jit=False: under full jit the H-sharded prox output feeding the FFT
+    # x-update trips an XLA *CPU* fft layout RET_CHECK in this host
+    # emulation (compiles fine on real TPU — same caveat as
+    # __graft_entry__.dryrun_multichip); the eager path runs the identical
+    # math including the shard_map'd halo exchange.
+    ref = ref_solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=4,
+                           jit=False)
+    out = sh_solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=4,
+                          jit=False)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=5e-4)

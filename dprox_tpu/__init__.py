@@ -33,10 +33,14 @@ from .linop import (
     BlackBox,
     LinOpFactory,
     vstack,
+    sum,
+    copy,
     eval,
     adjoint,
     gram,
     validate,
+    est_norm,
+    est_CompGraph_norm,
 )
 from .proxfn import (
     ProxFn,
@@ -61,6 +65,7 @@ from .proxfn import (
 from .linalg import LinearSolveConfig, linear_solve
 from .algo import (
     Problem,
+    Algorithm,
     ADMM,
     ADMM_vxu,
     LinearizedADMM,
@@ -74,4 +79,5 @@ from .algo import (
     visualize,
     log_descent,
 )
+from .algo.special import AutoTuneSolver, DEQSolver, UnrolledSolver
 from .utils.misc import array, to_jax_array as tensor

@@ -21,3 +21,17 @@ from .ops import (
 from .constraints import matmul, equality, less
 from .evaluate import eval, adjoint, gram, validate, est_norm
 from .visualize import visualize, to_dot, to_text
+
+# reference-compat aliases. The reference's ``copy`` node duplicates a
+# shared subexpression so its adjoint accumulates
+# (linop/comp_graph.py:89-118); functional adjoint accumulation makes
+# that a no-op here (tests/test_linop.py::test_shared_subexpression).
+# ``split`` (vstack's transpose graph source) is likewise internal
+# machinery with no user-facing role — algorithms consume fn lists.
+est_CompGraph_norm = est_norm
+
+
+def copy(op):
+    """Identity (reference-compat): shared subexpressions need no copy
+    nodes under functional evaluation."""
+    return op

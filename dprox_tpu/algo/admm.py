@@ -54,7 +54,7 @@ class ADMM(Algorithm):
         b = [v[i] - u[i] for i in range(len(self.psi_fns))]
         x = self.least_square.solve(b, rho, params=params,
                                     var_shapes=self._var_shapes(x),
-                                    prepared=aux.lsq)
+                                    prepared=aux.lsq, warm=x)
 
         Kx = self.K_forward(x, params)
         v_new, u_new = [], []
@@ -115,7 +115,7 @@ class LinearizedADMM(ADMM):
             b.append(x - tmp)
         x = self.least_square.solve(b, rho, params=params,
                                     var_shapes=self._var_shapes(x),
-                                    prepared=aux.lsq)
+                                    prepared=aux.lsq, warm=x)
 
         Kx = self.K_forward(x, params)
         v_new, u_new = [], []
@@ -141,6 +141,6 @@ class ADMM_vxu(ADMM):
         b = [x_new[i] + u[i] for i in range(len(self.psi_fns))]
         z = self.least_square.solve(b, rho, params=params,
                                     var_shapes=self._var_shapes(z),
-                                    prepared=aux.lsq)
+                                    prepared=aux.lsq, warm=z)
         u_new = tuple(u[i] + x_new[i] - z for i in range(len(self.psi_fns)))
         return (z, tuple(x_new), u_new)

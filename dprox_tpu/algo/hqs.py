@@ -14,7 +14,7 @@ class HQS(ADMM):
         x, z = state
         x = self.least_square.solve(list(z), rho, params=params,
                                     var_shapes=self._var_shapes(x),
-                                    prepared=aux.lsq)
+                                    prepared=aux.lsq, warm=x)
         Kx = self.K_forward(x, params)
         z_new = tuple(
             fn.prox(Kx[i], lam[i], params=params, step=step,

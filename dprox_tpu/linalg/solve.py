@@ -40,24 +40,27 @@ class LinearSolveConfig:
     symmetric: bool = True  # KtK systems are SPD; skips building a transpose
 
 
-def _run_solver(spec, A: Callable, b: Array) -> Array:
+def _run_solver(spec, A: Callable, b: Array, x0=None) -> Array:
     solver_type, rtol, max_iters, kwargs = spec[:4]
     fn = SOLVERS[solver_type]
-    return fn(A, b, rtol=rtol, max_iters=max_iters, **dict(kwargs))
+    kwargs = dict(kwargs)
+    if x0 is not None:
+        kwargs["x0"] = x0
+    return fn(A, b, rtol=rtol, max_iters=max_iters, **kwargs)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _implicit_solve(spec, A_fn: Callable, theta, b: Array) -> Array:
-    return _run_solver(spec, lambda v: A_fn(theta, v), b)
+def _implicit_solve(spec, A_fn: Callable, theta, b: Array, x0) -> Array:
+    return _run_solver(spec, lambda v: A_fn(theta, v), b, x0)
 
 
-def _implicit_solve_fwd(spec, A_fn, theta, b):
-    x = _implicit_solve(spec, A_fn, theta, b)
-    return x, (theta, x)
+def _implicit_solve_fwd(spec, A_fn, theta, b, x0):
+    x = _implicit_solve(spec, A_fn, theta, b, x0)
+    return x, (theta, x, x0)
 
 
 def _implicit_solve_bwd(spec, A_fn, res, g):
-    theta, x = res
+    theta, x, x0 = res
     symmetric = spec[4]
     if symmetric:
         AT = lambda v: A_fn(theta, v)
@@ -69,21 +72,26 @@ def _implicit_solve_bwd(spec, A_fn, res, g):
     _, vjp = jax.vjp(lambda t: A_fn(t, x), theta)
     (gtheta,) = vjp(gb)
     gtheta = jax.tree.map(lambda t: -t, gtheta)
-    return gtheta, gb
+    # the converged solution does not depend on the warm start: zero grad
+    gx0 = jax.tree.map(jnp.zeros_like, x0)
+    return gtheta, gb, gx0
 
 
 _implicit_solve.defvjp(_implicit_solve_fwd, _implicit_solve_bwd)
 
 
 def linear_solve(A_fn: Callable, b: Array, theta=None,
-                 config: Optional[LinearSolveConfig] = None) -> Array:
+                 config: Optional[LinearSolveConfig] = None,
+                 x0: Optional[Array] = None) -> Array:
     """Solve A(theta) x = b, differentiable w.r.t. ``theta`` and ``b``.
 
     ``A_fn(theta, v)`` is the matrix-free matvec; ``theta`` is any pytree
     of parameters appearing inside A (rho, learned operator weights, ...).
     With ``use_analytic_grad`` the backward pass uses the implicit
     formula; otherwise a fixed-iteration unrolled CG is differentiated
-    through directly (reference: custom.py:65-82).
+    through directly (reference: custom.py:65-82). ``x0`` warm-starts the
+    iteration (zero gradient — at the solver tolerance the solution is
+    independent of the initialization).
     """
     config = config or LinearSolveConfig()
     if theta is None:
@@ -91,8 +99,8 @@ def linear_solve(A_fn: Callable, b: Array, theta=None,
     if config.use_analytic_grad:
         spec = (config.solver_type, config.rtol, config.max_iters,
                 tuple(sorted(config.solver_kwargs.items())), config.symmetric)
-        return _implicit_solve(spec, A_fn, theta, b)
-    return cg_unrolled(lambda v: A_fn(theta, v), b, rtol=config.rtol,
+        return _implicit_solve(spec, A_fn, theta, b, x0)
+    return cg_unrolled(lambda v: A_fn(theta, v), b, x0=x0, rtol=config.rtol,
                        max_iters=config.max_iters)
 
 

@@ -82,7 +82,8 @@ class ext_sum_squares(sum_squares):
         return self
 
     def solve(self, vs: Sequence[Array], rho, params: Optional[Params] = None,
-              var_shapes=None, prepared=None) -> Array:
+              var_shapes=None, prepared=None, warm=None) -> Array:
+        # warm accepted for interface parity; fused solves are closed-form
         xtilde = 0.0
         for v in vs:
             xtilde = xtilde + v
@@ -213,11 +214,13 @@ class least_squares(ProxFn):
 
     def solve(self, b: Sequence[Array], rho, v: Optional[Array] = None,
               params: Optional[Params] = None, eps: float = 1e-7,
-              var_shapes=None, prepared=None) -> Array:
+              var_shapes=None, prepared=None, warm=None) -> Array:
+        """``warm``: previous iterate to warm-start the CG path (ignored
+        by the direct path; zero gradient through the warm start)."""
         rho = expand_to_bchw(jnp.asarray(rho, jnp.float32))
         if self.diagonalizable or self.freq_diagonalizable:
             return self.solve_direct(b, rho, v, params, eps, var_shapes, prepared)
-        return self.solve_cg(b, rho, v, params, var_shapes, prepared)
+        return self.solve_cg(b, rho, v, params, var_shapes, prepared, warm)
 
     def solve_direct(self, b, rho, v=None, params=None, eps: float = 1e-7,
                      var_shapes=None, prepared=None) -> Array:
@@ -253,7 +256,7 @@ class least_squares(ProxFn):
         return out.astype(jnp.float32)
 
     def solve_cg(self, b, rho, v=None, params=None, var_shapes=None,
-                 prepared=None) -> Array:
+                 prepared=None, warm=None) -> Array:
         if var_shapes is None:
             ref = v if v is not None else b[0]
             var_shapes = self._var_shapes(ref)
@@ -281,7 +284,8 @@ class least_squares(ProxFn):
             return out
 
         return linear_solve(KtK, Ktb, theta=(rho, params or {}),
-                            config=self.linear_solve_config)
+                            config=self.linear_solve_config,
+                            x0=warm)
 
     def __repr__(self):
         return (f"least_squares(diagonalizable={self.diagonalizable}, "

@@ -276,6 +276,63 @@ class Algorithm:
         return self._jit_cache[key](encode_complex(x0), rhos, lam_list,
                                     encode_complex(params))
 
+    def solve_until(self, x0=None, rhos=None, lams=None,
+                    max_iter: int = 100, tol: float = 1e-4,
+                    params: Optional[Params] = None,
+                    real_output: bool = True):
+        """Solve until BOTH relative primal/dual residuals fall below
+        ``tol`` (or ``max_iter``), inside a single jitted
+        ``lax.while_loop`` — device-side early stopping, no host
+        round-trips. Requires an algorithm with residual tracking (the
+        ADMM family). Returns ``(x, iterations_used)``.
+
+        The reference's imaging solvers always run the full schedule;
+        only its LP path stops on residuals (lp/solvers.py:208-210).
+        """
+        x0 = self._prepare_x0(x0)
+        rhos, lam_list = self.defaults(rhos, lams, max_iter)
+        params = dict(params) if params else {}
+        key = ("until", real_output)
+        if key not in self._jit_cache:
+
+            def _run(x0, rhos, lam_list, params, tol):
+                x0 = decode_complex(x0)
+                params = decode_complex(params)
+                state0 = self.initialize(x0, params)
+                offsets = self.prepare_aux(x0, params)
+                probe = self.residuals(state0, state0, rhos[0],
+                                       dict(params, __step__=0))
+                if probe is None:
+                    raise NotImplementedError(
+                        f"{type(self).__name__} does not track primal/dual "
+                        "residuals; solve_until needs the ADMM family")
+                n = rhos.shape[0]
+
+                def cond(carry):
+                    _, k, rp, rd = carry
+                    return jnp.logical_and(
+                        k < n, jnp.logical_or(rp > tol, rd > tol))
+
+                def body(carry):
+                    st, k, _, _ = carry
+                    rho = rhos[k]
+                    lam = [l[k] for l in lam_list]
+                    p_it = dict(params, __step__=k)
+                    new = self._iter(st, rho, lam, k, p_it, offsets)
+                    res = self.residuals(st, new, rho, p_it)
+                    return (new, k + 1, res["r_primal"], res["r_dual"])
+
+                init = (state0, jnp.int32(0), jnp.float32(jnp.inf),
+                        jnp.float32(jnp.inf))
+                state, k, _, _ = jax.lax.while_loop(cond, body, init)
+                out = jnp.real(state[0]) if real_output else state[0]
+                return out, k
+
+            self._jit_cache[key] = jax.jit(_run)
+        return self._jit_cache[key](encode_complex(x0), rhos, lam_list,
+                                    encode_complex(params),
+                                    jnp.float32(tol))
+
     def iters(self, state, rhos, lam_list, max_iter: int,
               params: Optional[Params] = None, offsets=None, x_ref=None):
         """Advance ``state`` by max_iter iterations (used by the RL tuner's

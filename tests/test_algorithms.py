@@ -220,6 +220,28 @@ class TestSolveWithResiduals:
                                atol=1e-6)
             prev = st
 
+    def test_solve_until_early_stop(self):
+        """Device-side early stopping: stops before max_iter, satisfies
+        the tolerance, and matches the plain solve truncated at the same
+        iteration count."""
+        img = imaging.sample("face")[:, :, :64, :64]
+        psf = imaging.point_spread_function(15, 5)
+        b = imaging.blurring(img, psf)
+        x = dp.Variable()
+        solver = dp.compile([dp.sum_squares(dp.conv(x, psf) - b),
+                             dp.nonneg(x)], "admm")
+        out, k = solver.solve_until(x0=b, max_iter=300, tol=1e-4,
+                                    rhos=0.05, lams=0.01)
+        k = int(k)
+        assert 0 < k < 300
+        _, res = solver.solve_with_residuals(x0=b, max_iter=k, rhos=0.05,
+                                             lams=0.01)
+        assert np.asarray(res["r_primal"])[-1] < 1e-4
+        assert np.asarray(res["r_dual"])[-1] < 1e-4
+        ref = solver.solve(x0=b, max_iter=k, rhos=0.05, lams=0.01)
+        assert np.allclose(np.asarray(out), np.asarray(jnp.real(ref)),
+                           atol=1e-5)
+
     def test_non_consensus_algorithms_raise(self):
         img, b, fns = self._tv_deconv(H=32)
         for method in ("hqs", "pc", "pgd"):

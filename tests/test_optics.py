@@ -103,3 +103,45 @@ def test_derain_learnable_deg_op():
     assert out.shape == v.shape
     back = dp.linop.adjoint(op, out, params={"deg_op": deg.params, "__step__": 0})
     assert back.shape == v.shape
+
+
+def test_csmri_mat_roundtrip(tmp_path):
+    """contrib.csmri.load_data parses the reference's .mat eval format
+    (reference: contrib/csmri.py:98-111: trailing-dim (re, im) pairs for
+    x0/y0/ATy0/sigma_n, mask expanded to a leading axis) and the loaded
+    sample solves."""
+    from scipy.io import savemat
+
+    from dprox_tpu.contrib import csmri
+
+    s = csmri.generate_sample(size=32, num_lines=12)
+    x0 = np.asarray(s["x0"])[0]          # [1, H, W] complex
+    y0 = np.asarray(s["params"]["y"])[0]
+    mask = np.asarray(s["mask"])[0, 0]   # [H, W]
+    def r2pair(z):
+        return np.stack([z.real, z.imag], axis=-1).astype(np.float32)
+    path = str(tmp_path / "sample.mat")
+    savemat(path, {
+        "name": "synthetic",
+        "x0": r2pair(x0),
+        "y0": r2pair(y0),
+        "ATy0": r2pair(x0),
+        "sigma_n": r2pair(np.zeros((1,), np.complex64)),
+        "mask": mask.astype(np.float64),
+        "gt": np.asarray(s["gt"])[0, 0],
+    })
+    mat = csmri.load_data(path)
+    assert mat["name"] == "synthetic"
+    assert np.iscomplexobj(mat["x0"]) and np.iscomplexobj(mat["y0"])
+    assert mat["mask"].dtype == bool and mat["mask"].shape[0] == 1
+
+    x = dp.Variable()
+    y = dp.Placeholder("y")
+    m = dp.Placeholder("mask", batch=False)
+    solver = dp.compile(dp.csmri(x, m, y) + dp.deep_prior(x, "tv", sqrt=True),
+                        method="admm")
+    rhos, sigmas = dp.log_descent(30, 5, 8, sigma=0.01)
+    out = solver.solve(x0=mat["x0"][None], rhos=rhos, lams=sigmas, max_iter=8,
+                       params={"y": mat["y0"][None], "mask": mat["mask"]},
+                       real_output=True)
+    assert np.isfinite(np.asarray(out)).all()

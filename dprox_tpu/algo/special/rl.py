@@ -221,15 +221,17 @@ class AutoTuneSolver:
         rng = np.random.RandomState(seed)
         critic = CriticNet()
 
-        # Probe one sample to shape the networks/buffer.
-        sample0 = next(iter(dataset))
+        # materialize (single-pass iterators would lose the probe sample
+        # and be exhausted after the first epoch)
+        dataset = list(dataset)
+        # Probe one sample to shape the networks.
+        sample0 = dataset[0]
         x0 = to_jax_array(sample0["x0"], batch=True).astype(jnp.float32)
         solve_params0 = {k: v for k, v in sample0.items()
                          if k not in ("x0", "gt")}
         state0 = self.solver.initialize(x0, solve_params0)
         ob0 = self._policy_ob(state0, 0, x0)
         a0 = self._flat_action(self.policy.apply(self.policy_params, ob0))
-        act_dim = a0.shape[1]
 
         actor_params = self.policy_params
         critic_params = critic.init(jax.random.key(seed), ob0, a0)
@@ -303,9 +305,11 @@ class AutoTuneSolver:
                     rew = new_psnr - last_psnr - loop_penalty
                     last_psnr = new_psnr
                     nob = self._policy_ob(state, i + 1, x0)
-                    done = np.full((ob.shape[0],),
-                                   float(i == self.max_episode_step - 1),
-                                   np.float32)
+                    # the episode ends by TRUNCATION (time limit), not
+                    # termination: solving continues identically beyond
+                    # the horizon, so bootstrap through it (done=0) to
+                    # keep Q-values near the horizon unbiased
+                    done = np.zeros((ob.shape[0],), np.float32)
                     buf_push(ob, self._flat_action(action), rew, nob, done)
                     ob = nob
                     step += 1

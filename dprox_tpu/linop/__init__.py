@@ -28,7 +28,18 @@ from .visualize import visualize, to_dot, to_text
 # that a no-op here (tests/test_linop.py::test_shared_subexpression).
 # ``split`` (vstack's transpose graph source) is likewise internal
 # machinery with no user-facing role — algorithms consume fn lists.
-est_CompGraph_norm = est_norm
+
+
+def est_CompGraph_norm(op, tol: float = 1e-3, try_fast_norm: bool = False,
+                       shape=None, **kwargs):
+    """Reference-signature wrapper around est_norm
+    (reference: linop/comp_graph.py:389-423 — tol/try_fast_norm are
+    accepted for drop-in compatibility; power iteration here always
+    runs to its fixed iteration budget)."""
+    del tol, try_fast_norm
+    if shape is not None:
+        kwargs["shape"] = shape
+    return est_norm(op, **kwargs)
 
 
 def copy(op):

@@ -56,6 +56,7 @@ class UpsampleConv3d(nn.Module):
 
     features: int
     upsample: Tuple[int, int, int] = (1, 2, 2)
+    k: Tuple[int, int, int] = (3, 3, 3)
     bias: bool = False
 
     @nn.compact
@@ -63,7 +64,7 @@ class UpsampleConv3d(nn.Module):
         N, D, H, W, C = x.shape
         ud, uh, uw = self.upsample
         x = jax.image.resize(x, (N, D * ud, H * uh, W * uw, C), method="nearest")
-        return Conv3d(self.features, bias=self.bias)(x)
+        return Conv3d(self.features, k=self.k, bias=self.bias)(x)
 
 
 class QRNNConv3D(nn.Module):
@@ -79,7 +80,7 @@ class QRNNConv3D(nn.Module):
     @nn.compact
     def __call__(self, x, reverse: bool = False):
         if self.upsample is not None:
-            gates = UpsampleConv3d(self.hidden * 2, self.upsample)(x)
+            gates = UpsampleConv3d(self.hidden * 2, self.upsample, k=self.k)(x)
         else:
             gates = Conv3d(self.hidden * 2, self.k, self.s)(x)
         Z, F = jnp.split(gates, 2, axis=-1)

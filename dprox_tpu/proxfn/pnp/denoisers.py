@@ -33,10 +33,22 @@ class Denoiser:
     """Base wrapper (reference: denoisers/base.py:5-18)."""
 
     module = None
+    #: spatial receptive-field radius in input pixels (None = unknown /
+    #: unbounded); used to derive the halo for sharded inference
+    receptive_radius = None
 
     def __init__(self, params=None):
         self.params = params
         self.pretrained = params is not None
+
+    def _load_ckpt(self, path: str, init):
+        """Shared checkpoint dispatch: flax msgpack or torch state dict."""
+        if path.endswith(".msgpack"):
+            from flax import serialization
+
+            with open(path, "rb") as f:
+                return serialization.from_bytes(init, f.read())
+        return torch_to_flax(load_torch_state_dict(path), init)
 
     def init_params(self, sample_shape, key=0):
         raise NotImplementedError
@@ -66,6 +78,8 @@ class FFDNetDenoiser(Denoiser2D):
     def __init__(self, params=None, ckpt_path: Optional[str] = None,
                  nc: int = 64, nb: int = 15):
         self.module = FFDNet(in_nc=1, out_nc=1, nc=nc, nb=nb)
+        # nb 3x3 layers at half resolution (pixel-unshuffle sf=2)
+        self.receptive_radius = 2 * nb
         if params is None and ckpt_path is not None:
             params = self._load(ckpt_path)
         if params is None:
@@ -79,12 +93,7 @@ class FFDNetDenoiser(Denoiser2D):
     def _load(self, path):
         init = self.module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)),
                                 jnp.zeros(()))
-        if path.endswith(".msgpack"):
-            from flax import serialization
-
-            with open(path, "rb") as f:
-                return serialization.from_bytes(init, f.read())
-        return torch_to_flax(load_torch_state_dict(path), init)
+        return self._load_ckpt(path, init)
 
     def _denoise_gray(self, x, sigma, params=None):
         p = params if params is not None else self.params
@@ -98,16 +107,11 @@ class FFDNetColorDenoiser(Denoiser):
     def __init__(self, params=None, ckpt_path: Optional[str] = None,
                  nc: int = 96, nb: int = 12):
         self.module = FFDNet(in_nc=3, out_nc=3, nc=nc, nb=nb)
+        self.receptive_radius = 2 * nb
         init = self.module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
                                 jnp.zeros(()))
         if params is None and ckpt_path is not None:
-            if ckpt_path.endswith(".msgpack"):
-                from flax import serialization
-
-                with open(ckpt_path, "rb") as f:
-                    params = serialization.from_bytes(init, f.read())
-            else:
-                params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
+            params = self._load_ckpt(ckpt_path, init)
         super().__init__(params if params is not None else None)
         if self.params is None:
             self.params = init
@@ -196,6 +200,8 @@ class IRCNNDenoiser(Denoiser2D):
 
     def __init__(self, n_channels=1, params_stack=None, ckpt_path: Optional[str] = None):
         self.module = IRCNN(in_nc=n_channels, out_nc=n_channels, nc=64)
+        # 7 dilated conv layers, dilations 1..4..1 -> radius sum(d_i)
+        self.receptive_radius = 16
         init = self.module.init(jax.random.key(0), jnp.zeros((1, 32, 32, n_channels)))
         if params_stack is None and ckpt_path is not None:
             sds = load_torch_state_dict(ckpt_path)  # dict idx -> state_dict
@@ -253,6 +259,8 @@ class TVDenoiser(Denoiser):
 
     def __init__(self, iter_num: int = 5, use_3dtv: bool = False):
         super().__init__(params=())
+        # each TV iteration propagates information one pixel
+        self.receptive_radius = iter_num + 1
         self.iter_num = iter_num
         self.use_3dtv = use_3dtv
 

@@ -71,10 +71,14 @@ class deep_prior(ProxFn):
                  x8: bool = False, clamp: bool = False, trainable: bool = False,
                  unroll_step: Optional[int] = None, sqrt: bool = False,
                  param_key: Optional[str] = None, spatial_mesh=None,
-                 spatial_axis: str = "space", spatial_halo: int = 16):
+                 spatial_axis: str = "space",
+                 spatial_halo: Optional[int] = None):
         """``spatial_mesh``: run denoiser inference spatially sharded over
         this mesh axis with halo exchange (parallel.sharded_denoise) —
-        exact vs unsharded when halo covers the receptive field."""
+        exact vs unsharded when the halo covers the receptive field.
+        ``spatial_halo=None`` derives the halo from the denoiser's
+        ``receptive_radius`` (erroring if the denoiser does not declare
+        one); pass an explicit value to override."""
         super().__init__(linop)
         self.name = denoiser if isinstance(denoiser, str) else type(denoiser).__name__
         self.denoiser = get_denoiser(denoiser) if isinstance(denoiser, str) else denoiser
@@ -82,6 +86,14 @@ class deep_prior(ProxFn):
             self.denoiser = Augment(self.denoiser)
         self.spatial_mesh = spatial_mesh
         self.spatial_axis = spatial_axis
+        if spatial_mesh is not None and spatial_halo is None:
+            r = getattr(self.denoiser, "receptive_radius", None)
+            if r is None:
+                raise ValueError(
+                    f"denoiser {self.name!r} declares no receptive_radius; "
+                    "pass spatial_halo= explicitly (it must cover the "
+                    "network's receptive field for exact sharded results)")
+            spatial_halo = int(r) + (int(r) % 2)  # round up to even
         self.spatial_halo = spatial_halo
         self.clamp = clamp
         self.sqrt = sqrt

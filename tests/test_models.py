@@ -139,3 +139,13 @@ def test_qrnnredc3d_config_axes():
         outs.append(float(jnp.mean(y)))
     # the config axes genuinely change the computation
     assert len({round(v, 5) for v in outs}) == len(outs)
+
+    # is_2d uses per-band (1,3,3) kernels EVERYWHERE, including the
+    # upsampling decoder layers (reference: qrnn3d.py QRNNUpsampleConv3d
+    # k=(1,3,3) when is_2d)
+    m = QRNNREDC3D(is_2d=True)
+    p = m.init(jax.random.key(0), x)
+    kshapes = [np.asarray(v).shape
+               for k, v in jax.tree_util.tree_leaves_with_path(p)
+               if "kernel" in str(k)]
+    assert all(s[0] == 1 for s in kshapes), kshapes

@@ -143,9 +143,10 @@ def test_pnp_solve_with_sharded_prior_matches_unsharded():
 
     ref_solver = dp.compile([data, dp.deep_prior(x, "tiny_ffdnet",
                                                  sqrt=True)], "admm")
+    # spatial_halo derived from the denoiser's receptive_radius (16)
     sh_solver = dp.compile([data, dp.deep_prior(
-        x, "tiny_ffdnet", sqrt=True, spatial_mesh=smesh,
-        spatial_halo=16)], "admm")
+        x, "tiny_ffdnet", sqrt=True, spatial_mesh=smesh)], "admm")
+    assert sh_solver.psi_fns[0].spatial_halo == 16
     rhos, sigmas = dp.log_descent(35, 10, 4)
     # jit=False: under full jit the H-sharded prox output feeding the FFT
     # x-update trips an XLA *CPU* fft layout RET_CHECK in this host

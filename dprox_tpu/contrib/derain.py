@@ -27,7 +27,12 @@ class ResBlock(nn.Module):
     def __call__(self, x):
         r = nn.Conv(64, (3, 3), padding=1, use_bias=True)(x)
         r = PReLU()(r)
-        r = nn.Conv(self.n_feats, (3, 3), padding=1, use_bias=True)(r)
+        # zero-init the residual branch so phi(x) = x before training:
+        # the untrained unrolled solver then behaves like an identity
+        # degradation instead of diverging (the reference always loads a
+        # trained checkpoint here, derain.py:34-38)
+        r = nn.Conv(self.n_feats, (3, 3), padding=1, use_bias=True,
+                    kernel_init=nn.initializers.zeros)(r)
         return x + r
 
 

@@ -64,7 +64,12 @@ class SAM(nn.Module):
     @nn.compact
     def __call__(self, x, x_img):
         x1 = nn.Conv(self.n_feat, (1, 1), use_bias=False)(x)
-        img = nn.Conv(3, (1, 1), use_bias=False)(x) + x_img
+        # zero-init the image branch so each stage's image output starts
+        # at x_img exactly: the untrained unrolled solver is then stable
+        # (identity-like) instead of amplifying random features per stage;
+        # shape-compatible with reference checkpoints (dgu.py:93-104)
+        img = nn.Conv(3, (1, 1), use_bias=False,
+                      kernel_init=nn.initializers.zeros)(x) + x_img
         return x1 + x, img
 
 
@@ -197,7 +202,12 @@ class DGUDenoiser(nn.Module):
         # tail
         self.shallow7 = [_conv(nf, bias=False), CAB(nf, self.reduction)]
         self.concat67 = _conv(nf + self.scale_orsnetfeats, bias=False)
-        self.tail = _conv(3, bias=False)
+        # zero-init: the untrained final stage outputs 0 instead of a
+        # random-conv image of (potentially large) accumulated features —
+        # keeps the untrained unrolled pipeline bounded; shape-compatible
+        # with reference checkpoints (dgu.py:311)
+        self.tail = nn.Conv(3, (3, 3), padding=1, use_bias=False,
+                            kernel_init=nn.initializers.zeros)
 
     def _shallow(self, layers, v):
         x = layers[0](v)

@@ -31,8 +31,8 @@ def synthetic_rain(img, key, density=0.05, length=8):
     return jnp.clip(img + streaks, 0, 1)
 
 
-def main():
-    img = imaging.sample("face")[:, :, :128, :128]
+def main(train_steps: int = 200):
+    img = imaging.sample("face")[:, :, :64, :64]
     rainy = synthetic_rain(img, jax.random.key(0))
 
     max_iter = 7
@@ -40,16 +40,44 @@ def main():
     x = dp.Variable()
     A = deg.as_linop(x)
     data_term = dp.sum_squares(A, b=dp.Placeholder("rainy"))
-    reg_term = dp.unrolled_prior(x, DGUDenoiser(n_feat=16, scale_unetfeats=8,
-                                                scale_orsnetfeats=8),
-                                 max_step=max_iter)
-    solver = dp.compile([data_term, reg_term], method="pgd")
+    prior = dp.unrolled_prior(x, DGUDenoiser(n_feat=16, scale_unetfeats=8,
+                                             scale_orsnetfeats=8),
+                              max_step=max_iter, param_key="dgu")
+    solver = dp.compile([data_term, prior], method="pgd")
 
-    out = solver.solve(x0=rainy, max_iter=max_iter, rhos=0.5, lams=0.1,
-                       params={"rainy": rainy, "deg_op": deg.params})
-    print(f"rainy PSNR: {metrics.psnr(rainy, img):.2f} dB")
-    print(f"output PSNR: {metrics.psnr(out, img):.2f} dB "
-          f"(random-init networks; training required for gains)")
+    # joint bi-level training (the SIGGRAPH derain setup): gradients flow
+    # into the degradation operator, the DGUNet proximal network and the
+    # unrolled schedules simultaneously
+    import optax
+
+    params = {"deg_op": deg.params, "dgu": prior.params,
+              "rhos": jnp.full((max_iter,), 0.5),
+              "lams": jnp.full((max_iter,), 0.1)}
+
+    def solve(p):
+        return solver.solve(x0=rainy, max_iter=max_iter, rhos=p["rhos"],
+                            lams=p["lams"],
+                            params={"rainy": rainy, "deg_op": p["deg_op"],
+                                    "dgu": p["dgu"]})
+
+    tx = optax.adam(2e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def update(p, s):
+        loss, g = jax.value_and_grad(
+            lambda pp: jnp.mean((solve(pp) - img) ** 2))(p)
+        upd, s = tx.update(g, s)
+        return optax.apply_updates(p, upd), s, loss
+
+    before = solve(params)
+    for i in range(train_steps):
+        params, opt_state, loss = update(params, opt_state)
+    after = solve(params)
+
+    print(f"rainy PSNR:            {metrics.psnr(rainy, img):.2f} dB")
+    print(f"untrained output PSNR: {metrics.psnr(before, img):.2f} dB")
+    print(f"after {train_steps} joint steps:  {metrics.psnr(after, img):.2f} dB")
 
 
 if __name__ == "__main__":

@@ -86,7 +86,15 @@ def test_derain_joint_training_step():
                               max_step=max_iter, param_key="dgu")
     solver = dp.compile([data, prior], method="pgd")
 
-    params0 = {"deg_op": deg.params, "dgu": prior.params,
+    # perturb away from the stability-oriented zero-inits (SAM image
+    # branch, tail): at exactly zero the output is constant in the
+    # upstream params, so gradient FLOW cannot be observed there
+    leaves, treedef = jax.tree.flatten(prior.params)
+    keys = jax.random.split(jax.random.key(0), len(leaves))
+    dgu0 = treedef.unflatten([
+        l + 0.01 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)])
+    params0 = {"deg_op": deg.params, "dgu": dgu0,
                "rhos": jnp.full((max_iter,), 0.5),
                "lams": jnp.full((max_iter,), 0.1)}
 

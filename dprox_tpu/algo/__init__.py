@@ -10,3 +10,7 @@ from .absorb import absorb_all_linops
 from .equil import stochastic_equilibrate
 from . import lp
 from . import special
+
+# reference-compat names (dprox.algo.{specialization, UnrolledSolver, ...})
+specialization = special
+from .special import AutoTuneSolver, DEQSolver, UnrolledSolver  # noqa: E402

@@ -15,4 +15,22 @@ from .doe_model_hybrid import (
     build_hybrid_doe_model,
     sellmeier_fused_silica,
 )
-from .utils import load_sample_img, sanity_check, normalize_psf, center_crop
+from . import common
+from .common import get_one_phase_shift_thickness
+from .utils import (
+    Dataset,
+    SingleImageDataset,
+    center_crop,
+    load_sample_img,
+    normalize_psf,
+    normalize_psf2,
+    plot,
+    plot3d,
+    sanity_check,
+    subplot,
+)
+from ...models.optics_unet import OpticsUNet
+
+# reference-compat name (dprox.contrib.optic.U_Net, optic/unet.py:44)
+U_Net = OpticsUNet
+from ...utils.misc import outlier_correct  # noqa: E402  (re-export parity)

@@ -1,4 +1,5 @@
 from .prior import deep_prior, get_denoiser
+from .grunet import GRUNetDenoiser, GRUNetTVDenoiser, QRNN3DDenoiser
 from .denoisers import (
     Denoiser,
     Denoiser2D,

@@ -149,3 +149,26 @@ def test_qrnnredc3d_config_axes():
                for k, v in jax.tree_util.tree_leaves_with_path(p)
                if "kernel" in str(k)]
     assert all(s[0] == 1 for s in kshapes), kshapes
+
+
+def test_optics_unet_shapes_and_padding():
+    """Deep-optics baseline U_Net (reference: contrib/optic/unet.py:44-110):
+    output matches input spatial shape even when H/W are not multiples
+    of 32 (circular pad-to-32 + crop)."""
+    from dprox_tpu.models import OpticsUNet
+    from dprox_tpu.models.optics_unet import (pad_to_ratio_of_32,
+                                              unpad_from_ratio_of_32)
+
+    x = jnp.ones((1, 40, 50, 3))
+    padded = pad_to_ratio_of_32(x)
+    assert padded.shape == (1, 64, 64, 3)
+    assert np.allclose(np.asarray(unpad_from_ratio_of_32(padded, x.shape)),
+                       np.asarray(x))
+
+    m = OpticsUNet(base_features=4)
+    rng = np.random.RandomState(0)
+    inp = jnp.asarray(rng.rand(1, 40, 50, 3), jnp.float32)
+    p = m.init(jax.random.key(0), inp)
+    y = m.apply(p, inp)
+    assert y.shape == inp.shape
+    assert np.isfinite(np.asarray(y)).all()

@@ -86,12 +86,73 @@ def synth_images(n: int, size: int, channels: int, seed: int = 0) -> np.ndarray:
     return out
 
 
+def natural_crops(n: int, size: int, channels: int, seed: int = 0) -> np.ndarray:
+    """Augmented random crops from the natural photographs bundled with
+    sklearn (china.jpg, flower.jpg). matplotlib's grace_hopper.jpg is
+    deliberately EXCLUDED — it is the held-out natural eval image in
+    scripts/eval_prior_quality.py. Augmentations: random crop scale,
+    flips, 90-degree rotations, channel permutation, brightness/contrast
+    jitter."""
+    import sklearn.datasets
+    from PIL import Image
+
+    root = os.path.join(os.path.dirname(sklearn.datasets.__file__), "images")
+    photos = []
+    for fname in ("china.jpg", "flower.jpg"):
+        img = np.asarray(Image.open(os.path.join(root, fname)), np.float32)
+        photos.append(img / 255.0)
+
+    rng = np.random.RandomState(seed + 7919)
+    out = np.zeros((n, size, size, channels), np.float32)
+    for i in range(n):
+        img = photos[rng.randint(len(photos))]
+        h, w = img.shape[:2]
+        # crop at a random scale in [size, 3*size], resize down to size
+        s = rng.randint(size, min(3 * size, h, w) + 1)
+        top, left = rng.randint(h - s + 1), rng.randint(w - s + 1)
+        patch = img[top:top + s, left:left + s]
+        if s != size:
+            patch = np.asarray(
+                Image.fromarray((patch * 255).astype(np.uint8)).resize(
+                    (size, size), Image.BILINEAR), np.float32) / 255.0
+        if rng.rand() < 0.5:
+            patch = patch[:, ::-1]
+        if rng.rand() < 0.5:
+            patch = patch[::-1]
+        patch = np.rot90(patch, rng.randint(4))
+        patch = patch[..., rng.permutation(3)]
+        # brightness / contrast jitter
+        gain = 0.7 + 0.6 * rng.rand()
+        bias = 0.2 * (rng.rand() - 0.5)
+        patch = np.clip(gain * (patch - 0.5) + 0.5 + bias, 0.0, 1.0)
+        if channels == 1:
+            patch = patch.mean(-1, keepdims=True)
+        out[i] = patch
+    return out
+
+
+def build_corpus(corpus: str, n_images: int, size: int, channels: int,
+                 seed: int) -> np.ndarray:
+    if corpus == "synthetic":
+        return synth_images(n_images, size, channels, seed)
+    if corpus == "natural":
+        return natural_crops(n_images, size, channels, seed)
+    if corpus == "mixed":
+        half = n_images // 2
+        return np.concatenate([
+            synth_images(half, size, channels, seed),
+            natural_crops(n_images - half, size, channels, seed),
+        ])
+    raise ValueError(f"unknown corpus {corpus!r}")
+
+
 def train(channels: int, nc: int = 32, nb: int = 8, size: int = 64,
           n_images: int = 512, batch: int = 32, steps: int = 15000,
           chunk: int = 200, lr: float = 1e-3, sigma_max: float = 0.3,
-          seed: int = 0, out_path: str | None = None):
+          seed: int = 0, out_path: str | None = None,
+          corpus: str = "synthetic"):
     model = FFDNet(in_nc=channels, out_nc=channels, nc=nc, nb=nb)
-    data = jnp.asarray(synth_images(n_images, size, channels, seed))
+    data = jnp.asarray(build_corpus(corpus, n_images, size, channels, seed))
 
     params = model.init(jax.random.key(seed),
                         jnp.zeros((1, size, size, channels)), jnp.zeros(()))
@@ -157,6 +218,9 @@ if __name__ == "__main__":
     ap.add_argument("--nc", type=int, default=32)
     ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--corpus", type=str, default="synthetic",
+                    choices=("synthetic", "natural", "mixed"))
+    ap.add_argument("--n-images", type=int, default=512)
     args = ap.parse_args()
     train(args.channels, nc=args.nc, nb=args.nb, steps=args.steps,
-          out_path=args.out)
+          out_path=args.out, corpus=args.corpus, n_images=args.n_images)

@@ -1,0 +1,48 @@
+"""Smoke tier: every example script runs end-to-end at toy scale.
+
+The reference ships examples that are exercised only manually (SURVEY
+§4 notes no CI); here each example's main() is importable with scale
+parameters so this tier keeps them green on the CPU mesh.
+"""
+import importlib.util
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def load_example(rel):
+    path = os.path.join(ROOT, "examples", rel)
+    name = "example_" + os.path.splitext(os.path.basename(rel))[0]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_pnp_optics_smoke(capsys):
+    load_example("papers/pnp_optics.py").main(patch=32, max_iter=3)
+    out = capsys.readouterr().out
+    assert "output PSNR" in out
+
+
+def test_e2e_optics_unet_smoke(capsys):
+    load_example("papers/e2e_optics_unet.py").main(steps=2, patch=32)
+    out = capsys.readouterr().out
+    assert "output PSNR" in out
+
+
+def test_e2e_optics_joint_smoke(capsys):
+    load_example("papers/e2e_optics_joint.py").main(steps=2, patch=32,
+                                                    max_iter=2)
+    out = capsys.readouterr().out
+    assert "step 1" in out and "nan" not in out
+
+
+def test_csmri_unroll_smoke(capsys):
+    load_example("papers/csmri_unroll.py").main(train_steps=3)
+    out = capsys.readouterr().out
+    assert "unrolled (trained) PSNR" in out

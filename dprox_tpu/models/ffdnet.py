@@ -18,10 +18,19 @@ class FFDNet(nn.Module):
     out_nc: int = 1
     nc: int = 64
     nb: int = 15
+    # residual=True predicts the NOISE and returns input - residual, so
+    # sigma->0 degenerates to identity (critical for late PnP iterations,
+    # where a direct-prediction net caps reconstruction quality at its
+    # own low-sigma fidelity). The reference architecture and its
+    # checkpoints predict the image directly (network_ffdnet.py:27-69),
+    # so False stays the torch-checkpoint-compatible default; the
+    # in-repo-trained priors use True.
+    residual: bool = False
 
     @nn.compact
     def __call__(self, x, sigma):
         """x: [N,H,W,C]; sigma: scalar or [N] / [N,1,1,1] noise level."""
+        x_in = x
         x, h, w = replication_pad_to_even(x, 2)
         x = pixel_unshuffle(x, 2)
         sigma = jnp.asarray(sigma, x.dtype)
@@ -33,7 +42,8 @@ class FFDNet(nn.Module):
             x = Conv(self.nc, act="relu")(x)
         x = Conv(self.out_nc * 4)(x)
         x = pixel_shuffle(x, 2)
-        return x[:, :h, :w, :]
+        x = x[:, :h, :w, :]
+        return x_in - x if self.residual else x
 
 
 class FFDNet3D(nn.Module):

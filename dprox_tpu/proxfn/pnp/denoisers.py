@@ -76,8 +76,9 @@ class FFDNetDenoiser(Denoiser2D):
     """(reference: wrapper.py:25-35)"""
 
     def __init__(self, params=None, ckpt_path: Optional[str] = None,
-                 nc: int = 64, nb: int = 15):
-        self.module = FFDNet(in_nc=1, out_nc=1, nc=nc, nb=nb)
+                 nc: int = 64, nb: int = 15, residual: bool = False):
+        self.module = FFDNet(in_nc=1, out_nc=1, nc=nc, nb=nb,
+                             residual=residual)
         # nb 3x3 layers at half resolution (pixel-unshuffle sf=2)
         self.receptive_radius = 2 * nb
         if params is None and ckpt_path is not None:
@@ -105,8 +106,9 @@ class FFDNetColorDenoiser(Denoiser):
     """(reference: wrapper.py:38-48)"""
 
     def __init__(self, params=None, ckpt_path: Optional[str] = None,
-                 nc: int = 96, nb: int = 12):
-        self.module = FFDNet(in_nc=3, out_nc=3, nc=nc, nb=nb)
+                 nc: int = 96, nb: int = 12, residual: bool = False):
+        self.module = FFDNet(in_nc=3, out_nc=3, nc=nc, nb=nb,
+                             residual=residual)
         self.receptive_radius = 2 * nb
         init = self.module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
                                 jnp.zeros(()))

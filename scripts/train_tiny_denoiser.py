@@ -146,12 +146,33 @@ def build_corpus(corpus: str, n_images: int, size: int, channels: int,
     raise ValueError(f"unknown corpus {corpus!r}")
 
 
+def colored_noise(key, shape, alpha):
+    """Unit-std noise with radial spectral envelope f^alpha per sample.
+
+    alpha < 0: low-frequency ("pink") noise; alpha > 0: high-frequency
+    noise resembling the inverse-filter ringing a PnP prior faces inside
+    ADMM x-updates. Shape: (B, H, W, C); alpha: (B,)."""
+    b, h, w, c = shape
+    white = jax.random.normal(key, shape)
+    fy = jnp.fft.fftfreq(h)[:, None]
+    fx = jnp.fft.fftfreq(w)[None, :]
+    f = jnp.sqrt(fy**2 + fx**2)
+    f = jnp.maximum(f, 1.0 / max(h, w))
+    env = f[None, :, :, None] ** alpha[:, None, None, None]
+    spec = jnp.fft.fft2(white, axes=(1, 2)) * env
+    out = jnp.real(jnp.fft.ifft2(spec, axes=(1, 2)))
+    std = jnp.std(out, axis=(1, 2, 3), keepdims=True)
+    return out / (std + 1e-8)
+
+
 def train(channels: int, nc: int = 32, nb: int = 8, size: int = 64,
           n_images: int = 512, batch: int = 32, steps: int = 15000,
           chunk: int = 200, lr: float = 1e-3, sigma_max: float = 0.3,
           seed: int = 0, out_path: str | None = None,
-          corpus: str = "synthetic"):
-    model = FFDNet(in_nc=channels, out_nc=channels, nc=nc, nb=nb)
+          corpus: str = "synthetic", noise: str = "white",
+          residual: bool = False, sigma_dist: str = "uniform"):
+    model = FFDNet(in_nc=channels, out_nc=channels, nc=nc, nb=nb,
+                   residual=residual)
     data = jnp.asarray(build_corpus(corpus, n_images, size, channels, seed))
 
     params = model.init(jax.random.key(seed),
@@ -162,12 +183,23 @@ def train(channels: int, nc: int = 32, nb: int = 8, size: int = 64,
 
     def one_step(carry, key):
         params, opt_state = carry
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         idx = jax.random.randint(k1, (batch,), 0, n_images)
         clean = data[idx]
-        sigma = jax.random.uniform(k2, (batch,), maxval=sigma_max)
-        noisy = clean + sigma[:, None, None, None] * \
-            jax.random.normal(k3, clean.shape)
+        u = jax.random.uniform(k2, (batch,))
+        # "sq": p(sigma) emphasizes LOW noise levels (median 0.25*max) —
+        # late PnP-ADMM iterations run the denoiser at small sigma, where
+        # fidelity matters most
+        sigma = sigma_max * (u**2 if sigma_dist == "sq" else u)
+        if noise == "colored":
+            # half the batch white, half spectrally shaped f^alpha
+            alpha = jax.random.uniform(k4, (batch,), minval=-1.5, maxval=1.5)
+            alpha = jnp.where(jax.random.bernoulli(k5, 0.5, (batch,)),
+                              alpha, jnp.zeros_like(alpha))
+            n = colored_noise(k3, clean.shape, alpha)
+        else:
+            n = jax.random.normal(k3, clean.shape)
+        noisy = clean + sigma[:, None, None, None] * n
 
         def loss_fn(p):
             den = model.apply(p, noisy, sigma)
@@ -220,7 +252,14 @@ if __name__ == "__main__":
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--corpus", type=str, default="synthetic",
                     choices=("synthetic", "natural", "mixed"))
+    ap.add_argument("--noise", type=str, default="white",
+                    choices=("white", "colored"))
     ap.add_argument("--n-images", type=int, default=512)
+    ap.add_argument("--residual", action="store_true")
+    ap.add_argument("--sigma-dist", type=str, default="uniform",
+                    choices=("uniform", "sq"))
     args = ap.parse_args()
     train(args.channels, nc=args.nc, nb=args.nb, steps=args.steps,
-          out_path=args.out, corpus=args.corpus, n_images=args.n_images)
+          out_path=args.out, corpus=args.corpus, n_images=args.n_images,
+          noise=args.noise, residual=args.residual,
+          sigma_dist=args.sigma_dist)

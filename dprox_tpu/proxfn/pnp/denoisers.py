@@ -309,17 +309,27 @@ class DeepTVDenoiser(Denoiser):
     The reference solves a tiny cvxpy QP for fusion weights per call
     (composite.py:50-104); here the same least-squares fusion weight is
     computed in closed form (2 candidates -> scalar projection).
+
+    ``weight``: None keeps the adaptive closed-form weight (the
+    reference's behavior). A float fixes w — measured to be the better
+    PnP prior (the adaptive criterion fits the NOISY input, so it keeps
+    deep-branch weight exactly when the deep output retains structured
+    solver artifacts; see weights/README.md for the deconv study).
     """
 
-    def __init__(self, deep_denoiser: Denoiser, tv_iter: int = 10):
+    def __init__(self, deep_denoiser: Denoiser, tv_iter: int = 10,
+                 weight: Optional[float] = None):
         self.deep = deep_denoiser
         self.tv = TVDenoiser(iter_num=tv_iter)
+        self.weight = weight
         self.params = deep_denoiser.params
         self.pretrained = deep_denoiser.pretrained
 
     def denoise(self, x, sigma, params=None):
         d = self.deep.denoise(x, sigma, params)
         t = self.tv.denoise(x, sigma)
+        if self.weight is not None:
+            return self.weight * d + (1 - self.weight) * t
         # fusion weight minimizing ||w*d + (1-w)*t - x||^2, clipped to [0,1]
         num = jnp.sum((x - t) * (d - t))
         den = jnp.sum((d - t) ** 2) + 1e-12

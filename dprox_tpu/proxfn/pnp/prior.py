@@ -39,6 +39,21 @@ def get_denoiser(kind: str) -> Denoiser:
         # compact color FFDNet trained offline (scripts/train_tiny_denoiser.py)
         return FFDNetColorDenoiser(
             ckpt_path=find_weights("tiny_ffdnet_color.msgpack"), nc=32, nb=8)
+    if kind == "res_ffdnet_color":
+        # residual color FFDNet (identity at sigma->0), trained offline on
+        # the mixed natural/synthetic corpus with colored-noise
+        # augmentation — the strongest shipped learned denoiser
+        # (weights/README.md)
+        return FFDNetColorDenoiser(
+            ckpt_path=find_weights("res_ffdnet_color.msgpack"), nc=64,
+            nb=10, residual=True)
+    if kind == "res_ffdnet_color_tv":
+        # fixed-weight deep+TV fusion: the strongest offline deconv prior
+        # measured (beats TV-alone on natural and synthetic evals; use
+        # with sqrt=False schedules, e.g. log_descent(80, 30, 24))
+        from .denoisers import DeepTVDenoiser
+
+        return DeepTVDenoiser(get_denoiser("res_ffdnet_color"), weight=0.4)
     if kind == "drunet_color":
         return DRUNetDenoiser(3, ckpt_path=find_weights("drunet_color.pth"))
     if kind == "drunet":

@@ -42,13 +42,13 @@ def grace_hopper(size: int = 512) -> np.ndarray:
     return np.transpose(img, (2, 0, 1))[None]
 
 
-def solve_deconv(img, prior, iters=24):
+def solve_deconv(img, prior, sched=(35, 10), iters=24):
     psf = imaging.point_spread_function(15, 5)
     b = imaging.blurring(img, psf)
     x = dp.Variable()
     data_term = dp.sum_squares(dp.conv(x, psf) - b)
     solver = dp.compile([data_term, prior(x)], method="admm")
-    rhos, sigmas = dp.log_descent(35, 10, iters)
+    rhos, sigmas = dp.log_descent(sched[0], sched[1], iters)
     out = solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=iters)
     return metrics.psnr(b, img), metrics.psnr(out, img)
 
@@ -64,21 +64,27 @@ def main(candidates):
         "synthetic_face": np.asarray(imaging.sample("face")),
         "grace_hopper": grace_hopper(),
     }
+    # each shipped prior at its documented best config (weights/README.md)
     priors = {
-        "tv": lambda x: dp.deep_prior(x, denoiser="tv"),
-        "tiny_ffdnet_color": lambda x: dp.deep_prior(
-            x, denoiser="tiny_ffdnet_color", sqrt=True),
+        "tv": (lambda x: dp.deep_prior(x, denoiser="tv"), (35, 10)),
+        "tiny_ffdnet_color": (lambda x: dp.deep_prior(
+            x, denoiser="tiny_ffdnet_color", sqrt=True), (60, 20)),
+        "res_ffdnet_color": (lambda x: dp.deep_prior(
+            x, denoiser="res_ffdnet_color"), (80, 30)),
+        "res_ffdnet_color_tv": (lambda x: dp.deep_prior(
+            x, denoiser="res_ffdnet_color_tv"), (80, 30)),
     }
     for path in candidates:
         den = candidate_prior(path)
         name = os.path.splitext(os.path.basename(path))[0]
         priors[f"cand:{name}"] = (
-            lambda x, d=den: dp.deep_prior(x, denoiser=d, sqrt=True))
+            lambda x, d=den: dp.deep_prior(x, denoiser=d, sqrt=True),
+            (60, 20))
 
     for ename, img in evals.items():
-        for pname, prior in priors.items():
+        for pname, (prior, sched) in priors.items():
             try:
-                inp, out = solve_deconv(img, prior)
+                inp, out = solve_deconv(img, prior, sched)
                 print(f"{ename:16s} {pname:24s} input {inp:6.2f} dB  "
                       f"output {out:6.2f} dB", flush=True)
             except Exception as e:  # keep the sweep going

@@ -144,3 +144,26 @@ def test_tiny_ffdnet_color_pretrained_prior():
     rhos, sigmas = dp.log_descent(35, 10, 24)
     rec = solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=24)
     assert metrics.psnr(rec, img) > metrics.psnr(b, img) + 2.0
+
+
+def test_res_ffdnet_fusion_prior_beats_tv():
+    """The shipped residual FFDNet + TV fusion (res_ffdnet_color_tv) is
+    the strongest offline deconv prior: on the 128x128 face crop it must
+    beat the TV prior run at the same (its own best) schedule
+    (measured study: weights/README.md)."""
+    img = imaging.sample("face")[:, :, :128, :128]
+    psf = imaging.point_spread_function(15, 5)
+    b = imaging.blurring(img, psf)
+
+    def run(denoiser):
+        x = dp.Variable()
+        solver = dp.compile([dp.sum_squares(dp.conv(x, psf) - b),
+                             dp.deep_prior(x, denoiser)], "admm")
+        rhos, sigmas = dp.log_descent(80, 30, 24)
+        out = solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=24)
+        return metrics.psnr(out, img)
+
+    fusion = run("res_ffdnet_color_tv")
+    tv = run("tv")
+    assert fusion > tv
+    assert fusion > metrics.psnr(b, img) + 2.0

@@ -33,6 +33,7 @@ from .linop import (
     BlackBox,
     LinOpFactory,
     vstack,
+    split,
     sum,
     copy,
     eval,
@@ -81,3 +82,9 @@ from .algo import (
 )
 from .algo.special import AutoTuneSolver, DEQSolver, UnrolledSolver
 from .utils.misc import array, to_jax_array as tensor
+# reference-compat cache location (dprox/__init__.py:6-9 exports
+# utils.huggingface.CACHE_DIR; weights here resolve through utils.hub's
+# offline search path, whose first entry plays the same role)
+from .utils.hub import CACHE_DIRS
+CACHE_DIR = next((d for d in CACHE_DIRS if d), "~/.cache/dprox")
+__cache_dir__ = CACHE_DIR

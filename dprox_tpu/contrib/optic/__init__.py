@@ -34,3 +34,8 @@ from ...models.optics_unet import OpticsUNet
 # reference-compat name (dprox.contrib.optic.U_Net, optic/unet.py:44)
 U_Net = OpticsUNet
 from ...utils.misc import outlier_correct  # noqa: E402  (re-export parity)
+# reference-compat re-exports (dprox/contrib/optic/__init__.py pulls
+# Variable/conv_doe/psf2otf into its namespace; unet is its submodule)
+from ...linop import Variable, conv_doe  # noqa: E402
+from ...utils.fft import psf2otf  # noqa: E402
+from ...models import optics_unet as unet  # noqa: E402

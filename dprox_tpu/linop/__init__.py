@@ -4,6 +4,7 @@ from .base import (
     Constant,
     Placeholder,
     scale,
+    split,
     sum,
     vstack,
     cast_to_const,
@@ -26,8 +27,8 @@ from .visualize import visualize, to_dot, to_text
 # shared subexpression so its adjoint accumulates
 # (linop/comp_graph.py:89-118); functional adjoint accumulation makes
 # that a no-op here (tests/test_linop.py::test_shared_subexpression).
-# ``split`` (vstack's transpose graph source) is likewise internal
-# machinery with no user-facing role — algorithms consume fn lists.
+# ``split`` (vstack's transpose, documented in the reference API) is
+# exported from .base as a parity shim.
 
 
 def est_CompGraph_norm(op, tol: float = 1e-3, try_fast_norm: bool = False,

@@ -408,3 +408,20 @@ class vstack(LinOp):
 
     def norm_bound(self, input_mags):
         return float(np.linalg.norm(input_mags, 2))
+
+
+class split(vstack):
+    """Transpose of ``vstack``: one input fanned out to per-branch
+    adjoints / gathered by forward accumulation.
+
+    In the reference this is the stacked graph's source node over
+    per-variable copy nodes (/root/reference/dprox/linop/vstack.py,
+    documented in its API reference); algorithms here consume fn lists
+    directly, so this class exists for drop-in API parity — forward and
+    adjoint are vstack's swapped."""
+
+    def forward_list(self, ys, params=None, zero_constants=False):
+        return super().adjoint_list(ys, params)
+
+    def adjoint_list(self, inputs, params=None):
+        return super().forward_list(inputs, params)

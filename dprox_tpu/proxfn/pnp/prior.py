@@ -39,6 +39,15 @@ def get_denoiser(kind: str) -> Denoiser:
         # compact color FFDNet trained offline (scripts/train_tiny_denoiser.py)
         return FFDNetColorDenoiser(
             ckpt_path=find_weights("tiny_ffdnet_color.msgpack"), nc=32, nb=8)
+    if kind == "res_ffdnet":
+        # grayscale counterpart of res_ffdnet_color (weights/README.md)
+        return FFDNetDenoiser(
+            ckpt_path=find_weights("res_ffdnet_gray.msgpack"), nc=64,
+            nb=10, residual=True)
+    if kind == "res_ffdnet_tv":
+        from .denoisers import DeepTVDenoiser
+
+        return DeepTVDenoiser(get_denoiser("res_ffdnet"), weight=0.4)
     if kind == "res_ffdnet_color":
         # residual color FFDNet (identity at sigma->0), trained offline on
         # the mixed natural/synthetic corpus with colored-noise

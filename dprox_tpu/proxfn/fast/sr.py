@@ -68,6 +68,9 @@ class sisr(ext_sum_squares):
         sf = self.sf
         y = self._value(self.y, params)
         k = self._value(self.k, params)
+        # accept bare 2-D/3-D kernels (the DPIR math needs [N,C,h,w])
+        while k.ndim < 4:
+            k = k[None]
         h, w = y.shape[-2:]
         STy = upsample(y, sf=sf)
         FB = p2o(k, (h * sf, w * sf))

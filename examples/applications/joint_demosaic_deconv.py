@@ -24,9 +24,10 @@ def main():
 
     x = dp.Variable()
     data_term = dp.sum_squares(dp.mosaic(dp.conv(x, psf)) - b)
-    # the shipped tiny_ffdnet_color prior also works here (sqrt=True);
-    # TV gives the better PSNR among the offline-available priors
-    denoiser = "ffdnet_color" if find_weights("ffdnet_color.pth") else "tv"
+    # strongest offline prior: residual FFDNet + TV fusion
+    # (weights/README.md)
+    denoiser = ("ffdnet_color" if find_weights("ffdnet_color.pth")
+                else "res_ffdnet_color_tv")
     reg_term = dp.deep_prior(x, denoiser=denoiser)
 
     solver = dp.compile(data_term + reg_term, method="admm",
@@ -34,7 +35,7 @@ def main():
     assert not solver.least_square.freq_diagonalizable  # CG path
 
     init = demosaic_from_mosaiced(b)
-    rhos, sigmas = dp.log_descent(35, 10, 5)
+    rhos, sigmas = dp.log_descent(80, 30, 5)
     out = solver.solve(x0=init, rhos=rhos, lams=sigmas, max_iter=5)
 
     print(f"input  PSNR: {metrics.psnr(b, img):.2f} dB")

@@ -31,7 +31,7 @@ from .imaging import (
 from . import io
 from .io import imread, imread_rgb, imshow, filter_ckpt, is_image_file, list_image_files
 from . import init
-from .init import demosaic_bilinear, demosaic_from_mosaiced, demosaic_malvar, shift_pixel
+from .init import demosaic_bilinear, demosaic_ea, demosaic_from_mosaiced, demosaic_malvar, shift_pixel
 from . import hub
 from .hub import load_path, load_checkpoint, download_dataset
 

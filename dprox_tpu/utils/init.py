@@ -56,6 +56,30 @@ def demosaic_from_mosaiced(mosaiced: jnp.ndarray) -> jnp.ndarray:
     return demosaic_bilinear(planes)
 
 
+def demosaic_ea(mosaiced) -> jnp.ndarray:
+    """Edge-aware demosaicking init from a masked RGB mosaic [N,3,H,W].
+
+    Uses OpenCV's edge-aware Bayer interpolation when available (the
+    reference's dpir demosaic example calls
+    cv2.cvtColor(CFA, COLOR_BAYER_BG2RGB_EA) and notes it is essential
+    for strong PnP demosaic results: examples/papers/dpir_tpami_2020/
+    rgb_demosaic.py:21). Falls back to Malvar when cv2 is absent.
+    """
+    m = np.asarray(mosaiced, np.float32)
+    try:
+        import cv2
+    except Exception:
+        planes = np.stack([m[:, 0, 0::2, 0::2], m[:, 1, 0::2, 1::2],
+                           m[:, 1, 1::2, 0::2], m[:, 2, 1::2, 1::2]], axis=1)
+        return demosaic_malvar(jnp.asarray(planes))
+    cfa = np.clip(m.sum(axis=1) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    out = np.stack([
+        cv2.cvtColor(c, cv2.COLOR_BAYER_BG2RGB_EA).astype(np.float32) / 255.0
+        for c in cfa
+    ])
+    return jnp.asarray(np.transpose(out, (0, 3, 1, 2)))
+
+
 def shift_pixel(x, sf: int, upper_left: bool = True):
     """Fractional pixel shift for SR init (reference: init/sr.py:4-31).
 

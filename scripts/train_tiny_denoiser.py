@@ -258,8 +258,13 @@ if __name__ == "__main__":
     ap.add_argument("--residual", action="store_true")
     ap.add_argument("--sigma-dist", type=str, default="uniform",
                     choices=("uniform", "sq"))
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     train(args.channels, nc=args.nc, nb=args.nb, steps=args.steps,
           out_path=args.out, corpus=args.corpus, n_images=args.n_images,
           noise=args.noise, residual=args.residual,
-          sigma_dist=args.sigma_dist)
+          sigma_dist=args.sigma_dist, size=args.size, batch=args.batch,
+          lr=args.lr, seed=args.seed)

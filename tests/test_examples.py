@@ -46,3 +46,8 @@ def test_csmri_unroll_smoke(capsys):
     load_example("papers/csmri_unroll.py").main(train_steps=3)
     out = capsys.readouterr().out
     assert "unrolled (trained) PSNR" in out
+
+
+def test_dpir_demosaic_smoke(capsys):
+    psnr = load_example("papers/dpir_demosaic.py").main(iters=2)
+    assert psnr > 20.0

@@ -153,16 +153,24 @@ class DRUNetDenoiser(Denoiser):
     (reference: wrapper.py:91-146)."""
 
     def __init__(self, n_channels=3, params=None, ckpt_path: Optional[str] = None,
-                 min_size: int = 256, modulo: int = 16):
+                 min_size: int = 256, modulo: int = 16,
+                 nc=(64, 128, 256, 512), nb: int = 4, residual: bool = False):
         self.n_channels = n_channels
         self.min_size = min_size
         self.modulo = modulo
+        self.residual = residual
         self.module = UNetRes(in_nc=n_channels + 1, out_nc=n_channels,
-                              nc=(64, 128, 256, 512), nb=4)
+                              nc=tuple(nc), nb=nb)
         init = self.module.init(jax.random.key(0),
                                 jnp.zeros((1, 64, 64, n_channels + 1)))
         if params is None and ckpt_path is not None:
-            params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
+            if str(ckpt_path).endswith(".msgpack"):
+                from flax import serialization
+
+                with open(ckpt_path, "rb") as f:
+                    params = serialization.from_bytes(init, f.read())
+            else:
+                params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
         super().__init__(params if params is not None else None)
         if self.params is None:
             self.params = init
@@ -174,6 +182,9 @@ class DRUNetDenoiser(Denoiser):
         if ph or pw:
             x_nhwc = jnp.pad(x_nhwc, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
         out = self.module.apply(params, x_nhwc)
+        if self.residual:
+            # net predicts the noise; exact identity as sigma -> 0
+            out = x_nhwc[..., :out.shape[-1]] - out
         return out[:, :h, :w, :]
 
     def denoise(self, x, sigma, params=None):

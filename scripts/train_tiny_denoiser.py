@@ -170,9 +170,32 @@ def train(channels: int, nc: int = 32, nb: int = 8, size: int = 64,
           chunk: int = 200, lr: float = 1e-3, sigma_max: float = 0.3,
           seed: int = 0, out_path: str | None = None,
           corpus: str = "synthetic", noise: str = "white",
-          residual: bool = False, sigma_dist: str = "uniform"):
-    model = FFDNet(in_nc=channels, out_nc=channels, nc=nc, nb=nb,
-                   residual=residual)
+          residual: bool = False, sigma_dist: str = "uniform",
+          arch: str = "ffdnet"):
+    if arch == "drunet":
+        # compact UNetRes: 4 scales at nc/…, noise-map input channel;
+        # `residual` is applied outside the net (x - net(x,σ)) to keep
+        # exact identity at σ→0, matching DRUNetDenoiser(residual=True)
+        from dprox_tpu.models import UNetRes
+
+        net = UNetRes(in_nc=channels + 1, out_nc=channels,
+                      nc=(nc, 2 * nc, 4 * nc, 8 * nc), nb=nb)
+
+        class _Wrap:
+            def init(self, key, x, s):
+                smap = jnp.ones_like(x[..., :1]) * s
+                return net.init(key, jnp.concatenate([x, smap], -1))
+
+            def apply(self, p, x, s):
+                smap = jnp.ones_like(x[..., :1]) * jnp.reshape(
+                    jnp.asarray(s, x.dtype), (-1, 1, 1, 1))
+                out = net.apply(p, jnp.concatenate([x, smap], -1))
+                return x - out if residual else out
+
+        model = _Wrap()
+    else:
+        model = FFDNet(in_nc=channels, out_nc=channels, nc=nc, nb=nb,
+                       residual=residual)
     data = jnp.asarray(build_corpus(corpus, n_images, size, channels, seed))
 
     params = model.init(jax.random.key(seed),
@@ -262,9 +285,11 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--arch", type=str, default="ffdnet",
+                    choices=("ffdnet", "drunet"))
     args = ap.parse_args()
     train(args.channels, nc=args.nc, nb=args.nb, steps=args.steps,
           out_path=args.out, corpus=args.corpus, n_images=args.n_images,
           noise=args.noise, residual=args.residual,
           sigma_dist=args.sigma_dist, size=args.size, batch=args.batch,
-          lr=args.lr, seed=args.seed)
+          lr=args.lr, seed=args.seed, arch=args.arch)

@@ -167,3 +167,20 @@ def test_res_ffdnet_fusion_prior_beats_tv():
     tv = run("tv")
     assert fusion > tv
     assert fusion > metrics.psnr(b, img) + 2.0
+
+
+def test_drunet_compact_residual_wiring():
+    # compact UNetRes arch knobs + residual head: residual=True returns
+    # x - net(x, sigma) (the identity-at-sigma->0 behavior is a trained
+    # property of the shipped weights, not of the architecture)
+    from dprox_tpu.proxfn.pnp.denoisers import DRUNetDenoiser
+
+    direct = DRUNetDenoiser(n_channels=3, nc=(8, 16, 32, 64), nb=1)
+    resid = DRUNetDenoiser(n_channels=3, nc=(8, 16, 32, 64), nb=1,
+                           residual=True, params=direct.params)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 3, 32, 32), jnp.float32)
+    out_d = direct.denoise(x, 0.1)
+    out_r = resid.denoise(x, 0.1)
+    assert out_r.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(x - out_d),
+                               atol=1e-5)

@@ -62,6 +62,18 @@ def test_demosaic_bilinear_recovers_smooth():
     assert metrics.psnr(rec, img) > 30
 
 
+def test_demosaic_ea_recovers_smooth():
+    # the cv2 edge-aware init (and its Malvar fallback) on a smooth image
+    img = imaging.sample("face")[:, :, :64, :64]
+    img = jnp.asarray(
+        jax.image.resize(jax.image.resize(img, (1, 3, 8, 8), "linear"),
+                         (1, 3, 64, 64), "linear"))
+    m = imaging.mosaicing(img)
+    rec = dp.utils.demosaic_ea(m)
+    assert rec.shape == img.shape
+    assert metrics.psnr(rec, img) > 30
+
+
 def test_equilibrate_runs():
     x = dp.Variable()
     op = dp.conv(x, imaging.fspecial_gaussian(5, 2))

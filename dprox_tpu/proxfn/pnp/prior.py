@@ -52,17 +52,29 @@ def get_denoiser(kind: str) -> Denoiser:
         # residual color FFDNet (identity at sigma->0), trained offline on
         # the mixed natural/synthetic corpus with colored-noise
         # augmentation — the strongest shipped learned denoiser
-        # (weights/README.md)
+        # (weights/README.md; nc=96 generation, 96px patches, 60k steps)
         return FFDNetColorDenoiser(
-            ckpt_path=find_weights("res_ffdnet_color.msgpack"), nc=64,
+            ckpt_path=find_weights("res_ffdnet_color.msgpack"), nc=96,
             nb=10, residual=True)
     if kind == "res_ffdnet_color_tv":
         # fixed-weight deep+TV fusion: the strongest offline deconv prior
         # measured (beats TV-alone on natural and synthetic evals; use
-        # with sqrt=False schedules, e.g. log_descent(80, 30, 24))
+        # with sqrt=False schedules, e.g. log_descent(80, 30, 24);
+        # add x8=True for another ~+0.3 dB at 8x denoiser cost)
         from .denoisers import DeepTVDenoiser
 
-        return DeepTVDenoiser(get_denoiser("res_ffdnet_color"), weight=0.4)
+        return DeepTVDenoiser(get_denoiser("res_ffdnet_color"), weight=0.5)
+    if kind == "tiny_drunet_color":
+        # compact residual UNetRes/DRUNet (nc 32..256, nb=2), same corpus
+        # and recipe as res_ffdnet_color (scripts/train_tiny_denoiser.py
+        # --arch drunet); larger receptive field than the FFDNets
+        return DRUNetDenoiser(
+            3, ckpt_path=find_weights("tiny_drunet_color.msgpack"),
+            nc=(32, 64, 128, 256), nb=2, residual=True)
+    if kind == "tiny_drunet_color_tv":
+        from .denoisers import DeepTVDenoiser
+
+        return DeepTVDenoiser(get_denoiser("tiny_drunet_color"), weight=0.5)
     if kind == "drunet_color":
         return DRUNetDenoiser(3, ckpt_path=find_weights("drunet_color.pth"))
     if kind == "drunet":

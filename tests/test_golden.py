@@ -28,10 +28,14 @@ def _deconv_solver(method="admm"):
 
 
 GOLDEN_DECONV = {
-    # method -> expected PSNR (dB) pinned 2026-08 on the synthetic face
-    "admm": 27.89,
-    "hqs": 27.90,
-    "admm_vxu": 27.91,
+    # method -> expected PSNR (dB) pinned 2026-08 on the synthetic face.
+    # Re-pinned (+0.11 dB) when least_squares.prepare started hoisting
+    # the quadratic numerator in the frequency domain (conj(H)F(b),
+    # no ifft->fft roundtrip) — a strict accuracy improvement that also
+    # recovers 3+ dB on real-TPU PnP solves (sum_squares.py::prepare).
+    "admm": 28.01,
+    "hqs": 28.00,
+    "admm_vxu": 28.02,
 }
 
 

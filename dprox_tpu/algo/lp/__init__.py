@@ -1,2 +1,3 @@
 from .solvers import LPProblem, LPSolverADMM, LPConvergenceLoss, solve_lp
-from .utils import ruiz_equilibration_sparse, scipy_to_bcoo
+from .utils import (BSRMat, ruiz_equilibration_sparse, scipy_to_bcoo,
+                    scipy_to_device_op)

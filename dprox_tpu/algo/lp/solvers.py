@@ -16,6 +16,7 @@ pytree optimized by Adam on the log-residual convergence loss
 """
 from __future__ import annotations
 
+import time
 from collections import defaultdict
 from functools import partial
 from typing import Optional
@@ -27,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ...linalg.solvers import pcg as batched_pcg
-from .utils import ruiz_equilibration_sparse, scipy_to_bcoo
+from .utils import ruiz_equilibration_sparse, scipy_to_device_op
 
 
 def _vec_norm(x, ord=jnp.inf):
@@ -65,7 +66,8 @@ class LPProblem:
         A = sp.vstack([A_ub, A_eq, sp.eye(n)])
         d, e, gamma_c, gamma_b, A_bar, Acnorm = ruiz_equilibration_sparse(
             A, np.asarray(c, np.float64), np.concatenate([b_ub, b_eq, x_ub]))
-        self.A, self.AT = scipy_to_bcoo(A_bar, dtype)
+        self.A_host = sp.csr_matrix(A_bar)
+        self.A, self.AT = scipy_to_device_op(A_bar, dtype)
         self.d = jnp.asarray(d, dtype)
         self.e = jnp.asarray(e, dtype)
         self.gamma_c = gamma_c
@@ -142,7 +144,14 @@ class LPSolverADMM:
         y = jnp.zeros(m, dt)
         xtilde = jnp.zeros(n, dt)
 
-        rtols = np.logspace(-6, -10, 10000)
+        # dtype-aware floor on the reference's logspace(-6,-10) inner-CG
+        # tolerance schedule (solvers.py:179): below ~50 eps the stop is
+        # unreachable and PCG burns its full iteration cap doing roundoff
+        # arithmetic. In f64 the floor (1.1e-14) leaves the schedule
+        # untouched; in f32 it clamps at ~6e-6, far tighter than the
+        # outer ADMM tolerance, and the final polish restores accuracy.
+        rtol_floor = 50 * float(jnp.finfo(dt).eps)
+        rtols = np.maximum(np.logspace(-6, -10, 10000), rtol_floor)
         history = defaultdict(list)
 
         def one_iter(carry, rtol, rho):
@@ -184,9 +193,13 @@ class LPSolverADMM:
             steps = min(eval_freq, max_iters - k)
             chunk_rtols = jnp.asarray(
                 [rtols[min(k + i, 9999)] for i in range(steps)], dt)
+            t0 = time.perf_counter()
             carry = run_chunk(carry, rho, chunk_rtols, steps)
             k += steps
             x, z, y, xtilde = carry
+            float(x[0])  # force completion (block_until_ready is
+            # unreliable on the axon relay backend — see CLAUDE.md)
+            history["t_chunk"].append(time.perf_counter() - t0)
             objval, r_norm, s_norm, eps_p, eps_d = self.eval_result(
                 p, c, gamma_c, gamma_b, x, z, y)
             history["r_norm"].append(float(r_norm))
@@ -230,10 +243,7 @@ class LPSolverADMM:
         n = x_np.shape[0]
         Il = y_np < 0
         Iu = y_np > 0
-        # rebuild the equilibrated A host-side from the BCOO operator
-        data = np.asarray(p.A.data)
-        idx = np.asarray(p.A.indices)
-        A_sp = sp.csr_matrix((data, (idx[:, 0], idx[:, 1])), shape=p.A.shape)
+        A_sp = p.A_host
         Al = A_sp[Il]
         Au = A_sp[Iu]
         nl, nu = Al.shape[0], Au.shape[0]

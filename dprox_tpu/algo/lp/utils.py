@@ -13,6 +13,7 @@ import numpy as np
 import scipy.sparse as sp
 from scipy.sparse import linalg as slinalg
 
+import jax
 import jax.numpy as jnp
 from jax.experimental import sparse as jsparse
 
@@ -51,6 +52,162 @@ def ruiz_equilibration_sparse(A: sp.spmatrix, c: np.ndarray, b: np.ndarray,
     if verbose:
         print(f"Acnorm max/mean: {Acnorm.max():.3f}/{Acnorm.mean():.3f}")
     return d, e, float(gamma_c), float(gamma_b), A_bar, Acnorm
+
+
+class BSRMat:
+    """Static block-sparse (BSR) device operator for TPU matvecs.
+
+    jax.experimental.sparse BCOO matvecs lower to serialized
+    gather/scatter on TPU (measured 1.47 ms = 0.36 GB/s effective for the
+    33k-nnz energy-LP normal-equation apply on v5e). This operator
+    instead materializes the nonzero (bm x bn) tiles densely and runs the
+    matvec as a batched tile matmul + segment-sum — contiguous VMEM
+    traffic XLA fuses well. Structured LP constraint matrices (banded /
+    block-diagonal, e.g. capacity-expansion models) tile compactly; the
+    builder falls back to BCOO when tiling would blow up memory
+    (`scipy_to_device_op`).
+
+    Tiles are kept twice, once in row-major tile order (forward) and once
+    column-major pre-transposed (transpose apply), so both directions see
+    sorted output-segment ids — required by the Pallas kernel's
+    accumulate-while-revisiting scheme and optimal for segment_sum. Zero
+    tiles pad any uncovered output block (the kernel never initializes a
+    block it does not visit).
+    """
+
+    def __init__(self, A: sp.spmatrix, bm: int = 128, bn: int = 128,
+                 dtype=jnp.float32):
+        A = sp.csr_matrix(A)
+        m, n = A.shape
+        self.shape = (m, n)
+        self.bm, self.bn = bm, bn
+        self.Mb = -(-m // bm)
+        self.Nb = -(-n // bn)
+        coo = A.tocoo()
+        self.nse = coo.nnz
+        tile_of = (coo.row // bm).astype(np.int64) * self.Nb + (coo.col // bn)
+        uniq, inv = np.unique(tile_of, return_inverse=True)
+        tiles = np.zeros((len(uniq), bm, bn), np.float64)
+        tiles[inv, coo.row % bm, coo.col % bn] = coo.data
+        row_ids = (uniq // self.Nb).astype(np.int32)
+        col_ids = (uniq % self.Nb).astype(np.int32)
+        # coverage padding: every row/col block id must appear
+        miss_r = np.setdiff1d(np.arange(self.Mb, dtype=np.int32), row_ids)
+        miss_c = np.setdiff1d(np.arange(self.Nb, dtype=np.int32), col_ids)
+        if len(miss_r) or len(miss_c):
+            pad = len(miss_r) + len(miss_c)
+            tiles = np.concatenate([tiles, np.zeros((pad, bm, bn))])
+            row_ids = np.concatenate(
+                [row_ids, miss_r, np.zeros(len(miss_c), np.int32)])
+            col_ids = np.concatenate(
+                [col_ids, np.zeros(len(miss_r), np.int32), miss_c])
+        perm = np.lexsort((col_ids, row_ids))
+        tiles, row_ids, col_ids = tiles[perm], row_ids[perm], col_ids[perm]
+        permT = np.lexsort((row_ids, col_ids))
+        self.n_tiles = tiles.shape[0]
+        self.tiles = jnp.asarray(tiles, dtype)
+        self.row_ids = jnp.asarray(row_ids)
+        self.col_ids = jnp.asarray(col_ids)
+        self.tilesT = jnp.asarray(tiles[permT].transpose(0, 2, 1), dtype)
+        self.row_idsT = jnp.asarray(row_ids[permT])
+        self.col_idsT = jnp.asarray(col_ids[permT])
+
+    def nbytes(self):
+        return self.n_tiles * self.bm * self.bn * 4
+
+    def _matvec_impl(self, x):
+        from ...ops.pallas_kernels import bsr_matvec
+
+        m, n = self.shape
+        xb = jnp.pad(x, (0, self.Nb * self.bn - n)).reshape(self.Nb, self.bn)
+        out = bsr_matvec(self.tiles, self.col_ids, self.row_ids, xb, self.Mb)
+        return out.reshape(-1)[:m]
+
+    def _rmatvec_impl(self, y):
+        from ...ops.pallas_kernels import bsr_matvec
+
+        m, n = self.shape
+        yb = jnp.pad(y, (0, self.Mb * self.bm - m)).reshape(self.Mb, self.bm)
+        out = bsr_matvec(self.tilesT, self.row_idsT, self.col_idsT, yb,
+                         self.Nb)
+        return out.reshape(-1)[:n]
+
+    def matvec(self, x):
+        return _bsr_mv(self, x)
+
+    def rmatvec(self, y):
+        return _bsr_rmv(self, y)
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    @property
+    def T(self):
+        return _BSRTranspose(self)
+
+
+# custom VJPs: the cotangent of a matvec is the transpose apply (gradients
+# w.r.t. the matrix entries are not needed — LP constraint matrices are
+# data, only the solver hyperparameters learn). This also makes the Pallas
+# path differentiable without a kernel-level transpose rule.
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bsr_mv(op, x):
+    return op._matvec_impl(x)
+
+
+def _bsr_mv_fwd(op, x):
+    return op._matvec_impl(x), None
+
+
+def _bsr_mv_bwd(op, _, g):
+    return (op._rmatvec_impl(g),)
+
+
+_bsr_mv.defvjp(_bsr_mv_fwd, _bsr_mv_bwd)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bsr_rmv(op, y):
+    return op._rmatvec_impl(y)
+
+
+def _bsr_rmv_fwd(op, y):
+    return op._rmatvec_impl(y), None
+
+
+def _bsr_rmv_bwd(op, _, g):
+    return (op._matvec_impl(g),)
+
+
+_bsr_rmv.defvjp(_bsr_rmv_fwd, _bsr_rmv_bwd)
+
+
+class _BSRTranspose:
+    def __init__(self, base: BSRMat):
+        self.base = base
+        self.shape = (base.shape[1], base.shape[0])
+        self.nse = base.nse
+
+    def __matmul__(self, y):
+        return self.base.rmatvec(y)
+
+
+def scipy_to_device_op(A: sp.spmatrix, dtype=jnp.float32, bm: int = 128,
+                       bn: int = 128, tile_budget_bytes: int = 1 << 29):
+    """(op, op_T) device operators: BSR tiles when they fit the budget
+    (structured matrices), else BCOO gather/scatter (worst-case random
+    sparsity, where tiling would materialize ~nnz dense tiles)."""
+    probe = sp.coo_matrix(A)
+    tile_of = (probe.row // bm).astype(np.int64) * (-(-A.shape[1] // bn)) \
+        + (probe.col // bn)
+    T = len(np.unique(tile_of))
+    if T * bm * bn * 4 <= tile_budget_bytes:
+        op = BSRMat(A, bm=bm, bn=bn, dtype=dtype)
+        return op, op.T
+    return scipy_to_bcoo(A, dtype)
 
 
 def scipy_to_bcoo(A: sp.spmatrix, dtype=jnp.float64):

@@ -131,6 +131,87 @@ def freq_divide(F, diag, rho, eps: float = 1e-7, force: bool = False):
 
 
 # --------------------------------------------------------------------------- #
+# Block-sparse (BSR) matvec: y[io[t]] += tiles[t] @ x[ii[t]]
+# The LP ADMM's PCG loop applies A and A^T twice per iteration; on TPU the
+# BCOO gather/scatter lowering runs at <1 GB/s effective. This kernel
+# streams the dense nonzero tiles once through VMEM with scalar-prefetched
+# block indices (the canonical Pallas block-sparse pattern). Output blocks
+# must be visited contiguously (sorted idx_out) and every output block
+# must appear at least once (the builder pads zero tiles for coverage).
+# --------------------------------------------------------------------------- #
+
+
+def _bsr_matvec_ref(tiles, idx_in, idx_out, x_blocks, n_out_blocks):
+    prod = jnp.einsum("tij,tj->ti", tiles, x_blocks[idx_in])
+    return jax.ops.segment_sum(prod, idx_out, n_out_blocks,
+                               indices_are_sorted=True)
+
+
+def _bsr_kernel(k, io_ref, ii_ref, tile_ref, x_ref, o_ref):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    def body(j, carry):
+        t = s * k + j
+        xrow = x_ref[ii_ref[t]]
+        prod = jnp.dot(tile_ref[j], xrow, preferred_element_type=jnp.float32)
+        io = io_ref[t]
+        o_ref[io] = o_ref[io] + prod
+        return carry
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+def bsr_matvec(tiles, idx_in, idx_out, x_blocks, n_out_blocks,
+               force: bool = False, interpret: bool = False,
+               tiles_per_step: int = 8):
+    """Block-sparse matvec over (T, bm, bn) tiles.
+
+    ``x_blocks`` is (Nb, bn); returns (n_out_blocks, bm).
+    Falls back to einsum + segment_sum off-TPU.
+    """
+    T, bm, bn = tiles.shape
+    if (T == 0 or tiles.dtype != jnp.float32
+            or not (_HAS_PALLAS and (_on_tpu() or force or interpret))):
+        return _bsr_matvec_ref(tiles, idx_in, idx_out, x_blocks, n_out_blocks)
+    # The vectors are tiny (tens of KB) — keep x and the accumulator
+    # whole in VMEM for the entire grid and stream only the tiles; rows
+    # are picked by dynamic indexing on the leading dim. HBM traffic =
+    # tiles once + vectors once, the speed-of-light for this op. Several
+    # tiles per grid step amortize the per-step dispatch (zero-padding
+    # to a multiple is harmless: zero tiles accumulate 0 into block 0).
+    k = max(1, min(tiles_per_step, T))
+    S = -(-T // k)
+    if S * k != T:
+        pad = S * k - T
+        tiles = jnp.concatenate(
+            [tiles, jnp.zeros((pad, bm, bn), tiles.dtype)])
+        idx_in = jnp.concatenate([jnp.asarray(idx_in, jnp.int32),
+                                  jnp.zeros(pad, jnp.int32)])
+        idx_out = jnp.concatenate([jnp.asarray(idx_out, jnp.int32),
+                                   jnp.zeros(pad, jnp.int32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((k, bm, bn), lambda s, io, ii: (s, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        partial(_bsr_kernel, k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out_blocks, bm), tiles.dtype),
+        interpret=interpret,
+    )(jnp.asarray(idx_out, jnp.int32), jnp.asarray(idx_in, jnp.int32),
+      tiles, x_blocks)
+
+
+# --------------------------------------------------------------------------- #
 # Batched CG dot products: per-batch <p, q> reductions in one pass
 # --------------------------------------------------------------------------- #
 

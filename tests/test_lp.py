@@ -72,3 +72,48 @@ def test_problem_dispatches_lp():
     sol, history, results = prob.solve(max_iters=3000, pretrain_steps=3,
                                        verbose=False)
     assert np.abs(A @ np.asarray(sol) - b).max() < 5e-2
+
+
+def test_bsr_matvec_matches_scipy():
+    from dprox_tpu.algo.lp import BSRMat
+
+    rng = np.random.RandomState(3)
+    for (m, n) in [(70, 33), (256, 300), (13, 513)]:
+        A = sp.random(m, n, density=0.05, random_state=rng, format="csr")
+        op = BSRMat(A, dtype=jax.numpy.float64)
+        x = rng.rand(n)
+        y = rng.rand(m)
+        np.testing.assert_allclose(np.asarray(op @ x), A @ x, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(op.T @ y), A.T @ y, rtol=1e-12)
+        assert op.shape == (m, n) and op.T.shape == (n, m)
+
+
+def test_bsr_budget_fallback_to_bcoo():
+    from jax.experimental import sparse as jsparse
+
+    from dprox_tpu.algo.lp import scipy_to_device_op
+
+    rng = np.random.RandomState(0)
+    A = sp.random(400, 400, density=0.01, random_state=rng, format="csr")
+    op, opT = scipy_to_device_op(A, dtype=jax.numpy.float64,
+                                 tile_budget_bytes=16)
+    assert isinstance(op, jsparse.BCOO)
+    x = rng.rand(400)
+    np.testing.assert_allclose(np.asarray(op @ x), A @ x, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(opT @ x), A.T @ x, rtol=1e-10)
+
+
+def test_bsr_matvec_differentiable():
+    from dprox_tpu.algo.lp import BSRMat
+
+    rng = np.random.RandomState(1)
+    A = sp.random(40, 30, density=0.2, random_state=rng, format="csr")
+    op = BSRMat(A, dtype=jax.numpy.float64)
+
+    def f(x):
+        return jax.numpy.sum((op @ x) ** 2)
+
+    x = jax.numpy.asarray(rng.rand(30))
+    g = jax.grad(f)(x)
+    g_ref = 2 * A.T @ (A @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-10)

@@ -36,3 +36,32 @@ def test_bdot_matches():
     out = bdot_pallas(p, q)
     ref = jnp.sum(p.reshape(4, -1) * q.reshape(4, -1), axis=1)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_bsr_matvec_kernel_interpret():
+    """Run the actual Pallas BSR kernel in interpret mode vs the ref."""
+    import scipy.sparse as sp
+
+    from dprox_tpu.ops.pallas_kernels import _bsr_matvec_ref, bsr_matvec
+
+    rng = np.random.RandomState(4)
+    A = sp.random(256, 384, density=0.08, random_state=rng, format="csr")
+    from dprox_tpu.algo.lp.utils import BSRMat
+
+    op = BSRMat(A, bm=128, bn=128, dtype=jnp.float32)
+    x = jnp.asarray(rng.rand(384).astype(np.float32))
+    xb = jnp.pad(x, (0, op.Nb * 128 - 384)).reshape(op.Nb, 128)
+    ref = _bsr_matvec_ref(op.tiles, op.col_ids, op.row_ids, xb, op.Mb)
+    out = bsr_matvec(op.tiles, op.col_ids, op.row_ids, xb, op.Mb,
+                     interpret=True)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ref.reshape(-1)[:256]), A @ np.asarray(x), rtol=1e-5)
+    # transpose direction through the same kernel
+    y = jnp.asarray(rng.rand(256).astype(np.float32))
+    yb = jnp.pad(y, (0, op.Mb * 128 - 256)).reshape(op.Mb, 128)
+    outT = bsr_matvec(op.tilesT, op.row_idsT, op.col_idsT, yb, op.Nb,
+                      interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(outT.reshape(-1)[:384]), A.T @ np.asarray(y),
+        rtol=1e-4, atol=1e-5)

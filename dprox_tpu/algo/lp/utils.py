@@ -138,6 +138,33 @@ class BSRMat:
     def rmatvec(self, y):
         return _bsr_rmv(self, y)
 
+    def matmat(self, X):
+        """A @ X for X (n, S): batched tile matmul (T,bm,bn)x(T,bn,S) —
+        the multi-RHS shape the MXU wants (scenario-consensus LP path)."""
+        m, n = self.shape
+        S = X.shape[1]
+        Xb = jnp.pad(X, ((0, self.Nb * self.bn - n), (0, 0))).reshape(
+            self.Nb, self.bn, S)
+        prod = jax.lax.dot_general(
+            self.tiles, Xb[self.col_ids],
+            (((2,), (1,)), ((0,), (0,))))  # (T, bm, S)
+        out = jax.ops.segment_sum(prod, self.row_ids, self.Mb,
+                                  indices_are_sorted=True)
+        return out.reshape(-1, S)[:m]
+
+    def rmatmat(self, Y):
+        """A^T @ Y for Y (m, S) via the pre-transposed tiles."""
+        m, n = self.shape
+        S = Y.shape[1]
+        Yb = jnp.pad(Y, ((0, self.Mb * self.bm - m), (0, 0))).reshape(
+            self.Mb, self.bm, S)
+        prod = jax.lax.dot_general(
+            self.tilesT, Yb[self.row_idsT],
+            (((2,), (1,)), ((0,), (0,))))
+        out = jax.ops.segment_sum(prod, self.col_idsT, self.Nb,
+                                  indices_are_sorted=True)
+        return out.reshape(-1, S)[:n]
+
     def __matmul__(self, x):
         return self.matvec(x)
 

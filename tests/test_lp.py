@@ -117,3 +117,70 @@ def test_bsr_matvec_differentiable():
     g = jax.grad(f)(x)
     g_ref = 2 * A.T @ (A @ np.asarray(x))
     np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-10)
+
+
+def test_bsr_matmat_matches_scipy():
+    from dprox_tpu.algo.lp import BSRMat
+
+    rng = np.random.RandomState(5)
+    A = sp.random(180, 230, density=0.05, random_state=rng, format="csr")
+    op = BSRMat(A, dtype=jax.numpy.float64)
+    X = rng.rand(230, 6)
+    Y = rng.rand(180, 6)
+    np.testing.assert_allclose(np.asarray(op.matmat(X)), A @ X, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.rmatmat(Y)), A.T @ Y, rtol=1e-12)
+
+
+class TestConsensusLP:
+    """Scenario-parallel consensus ADMM (progressive hedging) vs the
+    extensive-form ground truth, single-device and over the mesh."""
+
+    def _instance(self, S=4):
+        from dprox_tpu.contrib.energy_system import synthetic_cep_scenarios
+
+        return synthetic_cep_scenarios(16, 4, S)
+
+    def test_matches_extensive_form(self):
+        from scipy.optimize import linprog
+
+        from dprox_tpu.algo.lp import solve_consensus_lp
+        from dprox_tpu.contrib.energy_system import extensive_form
+
+        c, A_ub, A_eq, b_ub, b_eq_s, sh = self._instance()
+        cf, Auf, Aef, buf, bef = extensive_form(c, A_ub, A_eq, b_ub, b_eq_s, sh)
+        ref = linprog(cf, Auf, buf, Aef, bef, bounds=(0, None), method="highs")
+        z, xs, hist, res = solve_consensus_lp(
+            c, A_ub, b_ub, A_eq, b_eq_s, sh, max_outer=300, eval_freq=100,
+            tol=1e-3, rho_ph=1.0, verbose=False)
+        assert abs(res["objective"] - ref.fun) / abs(ref.fun) < 2e-3
+        # consensus capacity close to the extensive-form first stage
+        assert np.abs(z - ref.x[:4]).max() < 1.0
+        assert res["r_nonanticipativity"] < 5e-2
+
+    def test_mesh_path_matches_single_device(self):
+        from dprox_tpu.algo.lp import solve_consensus_lp
+        from dprox_tpu.parallel import create_mesh
+
+        c, A_ub, A_eq, b_ub, b_eq_s, sh = self._instance(S=8)
+        # adaptation off: its host-side x2 branches compare residuals that
+        # differ at float-noise level between the two paths
+        kw = dict(max_outer=60, eval_freq=30, tol=0, rho_ph=1.0,
+                  adapt_rho_ph=False)
+        z1, xs1, _, r1 = solve_consensus_lp(c, A_ub, b_ub, A_eq, b_eq_s, sh, **kw)
+        mesh = create_mesh(("scenario",), (8,))
+        z2, xs2, _, r2 = solve_consensus_lp(c, A_ub, b_ub, A_eq, b_eq_s, sh,
+                                            mesh=mesh, **kw)
+        np.testing.assert_allclose(z1, z2, atol=1e-6)
+        np.testing.assert_allclose(xs1, xs2, atol=1e-5)
+
+    def test_f32_runs(self):
+        # the dtype the real-TPU path uses
+        from dprox_tpu.algo.lp import solve_consensus_lp
+
+        c, A_ub, A_eq, b_ub, b_eq_s, sh = self._instance()
+        z, xs, hist, res = solve_consensus_lp(
+            c, A_ub, b_ub, A_eq, b_eq_s, sh, dtype=jax.numpy.float32,
+            max_outer=60, eval_freq=30, tol=0, rho_ph=1.0,
+            pcg_rtol=1e-6)
+        assert np.isfinite(res["objective"])
+        assert res["r_nonanticipativity"] < 10.0

@@ -138,6 +138,115 @@ class ConsensusLPSolver:
         d = self.dtype
         return {k: jnp.asarray(v, d) for k, v in self._defaults.items()}
 
+    def solve_truncated(self, p: ScenarioLP, params, outer_iters: int = 5,
+                        inner_steps: int = 3, unroll_pcg_iters: int = 15):
+        """Differentiable truncated run (fixed-iteration unrolled CG, no
+        host control flow) for convergence-loss hyperparameter
+        pretraining — the consensus counterpart of
+        ``LPSolverADMM.solve_truncated`` (reference pattern:
+        problem.py:91-121). Returns (r_na, r_p, obj)."""
+        from ...linalg.solvers import cg_unrolled
+
+        dt = self.dtype
+        S, n = p.S, p.n
+        m = p.lb.shape[1]
+        E = jnp.asarray(p.shared_idx)
+        w = p.w
+        cbar = p.d * p.c
+        rho, sigma, alpha, rho_ph = (params["rho"], params["sigma"],
+                                     params["alpha"], params["rho_ph"])
+        Pvec = jnp.zeros(n, dt).at[E].set(rho_ph * w**2)
+
+        def outer(carry, _):
+            x, zc, y, xt, u, z = carry
+            q = cbar[None] + jnp.zeros((S, n), dt).at[:, E].add(
+                w[None] * (u - rho_ph * z[None]))
+
+            def inner(c2, _):
+                x, zc, y, xt = c2
+                right = sigma * x - q + p.apply_AT(rho * zc - y)
+
+                def KtK(V):
+                    return p.apply_AT(rho * p.apply_A(V)) + (sigma + Pvec) * V
+
+                xt = cg_unrolled(KtK, right, x0=xt, rtol=1e-12,
+                                 max_iters=unroll_pcg_iters)
+                zt = p.apply_A(xt)
+                x = alpha * xt + (1 - alpha) * x
+                zt = alpha * zt + (1 - alpha) * zc
+                zc = jnp.clip(zt + y / rho, p.lb, p.ub)
+                y = y + rho * (zt - zc)
+                return (x, zc, y, xt), None
+
+            (x, zc, y, xt), _ = jax.lax.scan(inner, (x, zc, y, xt), None,
+                                             length=inner_steps)
+            xE = w[None] * x[:, E]
+            z = jnp.mean(xE, axis=0)
+            u = u + rho_ph * (xE - z[None])
+            return (x, zc, y, xt, u, z), None
+
+        init = (jnp.zeros((S, n), dt), jnp.zeros((S, m), dt),
+                jnp.zeros((S, m), dt), jnp.zeros((S, n), dt),
+                jnp.zeros((S, E.shape[0]), dt), jnp.zeros(E.shape[0], dt))
+        (x, zc, y, xt, u, z), _ = jax.lax.scan(outer, init, None,
+                                               length=outer_iters)
+        xE = w[None] * x[:, E]
+        r_na = jnp.max(jnp.abs(xE - z[None]))
+        Ax = p.apply_A(x)
+        r_p = jnp.max(jnp.abs(Ax - jnp.clip(Ax, p.lb, p.ub)))
+        obj = p.c @ (p.d[None] * x).mean(0)
+        return r_na, r_p, obj
+
+    def pretrain(self, p: ScenarioLP, steps: int = 10, lr: float = 2e-2,
+                 outer_iters: int = 5, inner_steps: int = 3,
+                 unroll_pcg_iters: int = 15):
+        """Optimize (rho, sigma, alpha, rho_ph) by Adam on the truncated
+        consensus convergence loss log(r_na) + log(r_p). Positivity via
+        log-space; alpha constrained to (0, 2) by a scaled sigmoid."""
+        import optax
+
+        dt = self.dtype
+        p0 = self.init_params()
+        logits = {
+            "rho": jnp.log(p0["rho"]),
+            "sigma": jnp.log(p0["sigma"]),
+            "rho_ph": jnp.log(p0["rho_ph"]),
+            "alpha": jnp.log(p0["alpha"] / (2.0 - p0["alpha"])),
+        }
+
+        def to_params(lg):
+            return {"rho": jnp.exp(lg["rho"]), "sigma": jnp.exp(lg["sigma"]),
+                    "rho_ph": jnp.exp(lg["rho_ph"]),
+                    "alpha": 2.0 * jax.nn.sigmoid(lg["alpha"])}
+
+        tx = optax.adam(lr)
+        opt_state = tx.init(logits)
+
+        @jax.jit
+        def step(lg, opt_state):
+            def loss(lg):
+                r_na, r_p, _ = self.solve_truncated(
+                    p, to_params(lg), outer_iters=outer_iters,
+                    inner_steps=inner_steps,
+                    unroll_pcg_iters=unroll_pcg_iters)
+                return (jnp.log(jnp.maximum(r_na, 1e-12))
+                        + jnp.log(jnp.maximum(r_p, 1e-12)))
+
+            val, g = jax.value_and_grad(loss)(lg)
+            updates, opt_state = tx.update(g, opt_state)
+            return optax.apply_updates(lg, updates), opt_state, val
+
+        best, best_val = logits, np.inf
+        for i in range(steps + 1):
+            prev = logits
+            logits, opt_state, val = step(logits, opt_state)
+            # val is the loss AT ``prev`` (value_and_grad before update)
+            if np.isfinite(float(val)) and float(val) < best_val:
+                best, best_val = prev, float(val)
+            if self.verbose:
+                print(f"pretrain step {i} loss={float(val):.4f}")
+        return {k: jnp.asarray(v, dt) for k, v in to_params(best).items()}
+
     def solve(self, p: ScenarioLP, params: Optional[dict] = None,
               mesh: Optional[Mesh] = None, axis: str = "scenario",
               max_outer: int = 400, eval_freq: int = 20, tol: float = 1e-3,
@@ -318,8 +427,14 @@ class ConsensusLPSolver:
 
 
 def solve_consensus_lp(c, A_ub, b_ub, A_eq, b_eq_s, shared_idx,
-                       mesh: Optional[Mesh] = None, dtype=None, **kwargs):
-    """One-call scenario-consensus solve (counterpart of ``solve_lp``)."""
+                       mesh: Optional[Mesh] = None, dtype=None,
+                       pretrain_steps: int = 0, **kwargs):
+    """One-call scenario-consensus solve (counterpart of ``solve_lp``).
+
+    ``pretrain_steps > 0`` first tunes (rho, sigma, alpha, rho_ph) by
+    Adam on the truncated-run convergence loss (single-device,
+    differentiable path), then runs the full — possibly mesh-sharded —
+    solve with the learned hyperparameters."""
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     solver_kw = {k: kwargs.pop(k) for k in
@@ -327,4 +442,6 @@ def solve_consensus_lp(c, A_ub, b_ub, A_eq, b_eq_s, shared_idx,
                  if k in kwargs}
     p = ScenarioLP(c, A_ub, b_ub, A_eq, b_eq_s, shared_idx, dtype=dtype)
     solver = ConsensusLPSolver(dtype=dtype, **solver_kw)
-    return solver.solve(p, mesh=mesh, **kwargs)
+    params = solver.pretrain(p, steps=pretrain_steps) if pretrain_steps \
+        else None
+    return solver.solve(p, params=params, mesh=mesh, **kwargs)

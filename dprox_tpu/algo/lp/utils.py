@@ -147,7 +147,8 @@ class BSRMat:
             self.Nb, self.bn, S)
         prod = jax.lax.dot_general(
             self.tiles, Xb[self.col_ids],
-            (((2,), (1,)), ((0,), (0,))))  # (T, bm, S)
+            (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)  # (T, bm, S)
         out = jax.ops.segment_sum(prod, self.row_ids, self.Mb,
                                   indices_are_sorted=True)
         return out.reshape(-1, S)[:m]
@@ -160,7 +161,8 @@ class BSRMat:
             self.Mb, self.bm, S)
         prod = jax.lax.dot_general(
             self.tilesT, Yb[self.row_idsT],
-            (((2,), (1,)), ((0,), (0,))))
+            (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)
         out = jax.ops.segment_sum(prod, self.col_idsT, self.Nb,
                                   indices_are_sorted=True)
         return out.reshape(-1, S)[:n]

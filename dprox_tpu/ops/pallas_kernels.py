@@ -142,7 +142,8 @@ def freq_divide(F, diag, rho, eps: float = 1e-7, force: bool = False):
 
 
 def _bsr_matvec_ref(tiles, idx_in, idx_out, x_blocks, n_out_blocks):
-    prod = jnp.einsum("tij,tj->ti", tiles, x_blocks[idx_in])
+    prod = jnp.einsum("tij,tj->ti", tiles, x_blocks[idx_in],
+                      precision=jax.lax.Precision.HIGHEST)
     return jax.ops.segment_sum(prod, idx_out, n_out_blocks,
                                indices_are_sorted=True)
 
@@ -157,7 +158,11 @@ def _bsr_kernel(k, io_ref, ii_ref, tile_ref, x_ref, o_ref):
     def body(j, carry):
         t = s * k + j
         xrow = x_ref[ii_ref[t]]
-        prod = jnp.dot(tile_ref[j], xrow, preferred_element_type=jnp.float32)
+        prod = jnp.dot(tile_ref[j], xrow,
+                       preferred_element_type=jnp.float32,
+                       # full-f32 MXU passes: the PCG inside the LP
+                       # ADMM cannot converge through bf16 matvecs
+                       precision=jax.lax.Precision.HIGHEST)
         io = io_ref[t]
         o_ref[io] = o_ref[io] + prod
         return carry

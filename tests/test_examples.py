@@ -51,3 +51,11 @@ def test_csmri_unroll_smoke(capsys):
 def test_dpir_demosaic_smoke(capsys):
     psnr = load_example("papers/dpir_demosaic.py").main(iters=2)
     assert psnr > 20.0
+
+
+def test_stochastic_energy_planning_smoke(capsys):
+    load_example("applications/stochastic_energy_planning.py").main(
+        n_periods=12, n_tech=3, n_scenarios=8, use_mesh=True, max_outer=20)
+    out = capsys.readouterr().out
+    assert "consensus capacity plan" in out
+    assert "extensive-form optimum" in out

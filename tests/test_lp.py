@@ -184,3 +184,29 @@ class TestConsensusLP:
             pcg_rtol=1e-6)
         assert np.isfinite(res["objective"])
         assert res["r_nonanticipativity"] < 10.0
+
+    def test_pretrain_reduces_convergence_loss(self):
+        import jax.numpy as jnp
+
+        from dprox_tpu.algo.lp import ConsensusLPSolver, ScenarioLP
+
+        c, A_ub, A_eq, b_ub, b_eq_s, sh = self._instance()
+        p = ScenarioLP(c, A_ub, b_ub, A_eq, b_eq_s, sh)
+        solver = ConsensusLPSolver()
+
+        def loss(params):
+            r_na, r_p, _ = solver.solve_truncated(p, params)
+            return float(jnp.log(r_na) + jnp.log(r_p))
+
+        l0 = loss(solver.init_params())
+        params = solver.pretrain(p, steps=10)
+        l1 = loss(params)
+        # best-iterate tracking guarantees never-worse than the defaults
+        assert np.isfinite(l1) and l1 <= l0 + 1e-9
+        # learned params stay in their valid domains
+        assert float(params["rho"]) > 0 and float(params["sigma"]) > 0
+        assert 0 < float(params["alpha"]) < 2
+        # and the full solve runs with them
+        z, xs, hist, res = solver.solve(p, params=params, max_outer=40,
+                                        eval_freq=40, tol=0)
+        assert np.isfinite(res["objective"])

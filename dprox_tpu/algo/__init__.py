@@ -1,5 +1,6 @@
 from .base import Algorithm
 from .admm import ADMM, ADMM_vxu, LinearizedADMM
+from .cadmm import ConsensusADMM
 from .hqs import HQS
 from .pc import PockChambolle
 from .pgd import ProximalGradientDescent

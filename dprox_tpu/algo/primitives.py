@@ -14,6 +14,7 @@ import jax
 from ..linalg import LinearSolveConfig
 from ..proxfn.base import ProxFn
 from .admm import ADMM, ADMM_vxu, LinearizedADMM
+from .cadmm import ConsensusADMM
 from .hqs import HQS
 from .pc import PockChambolle
 from .pgd import ProximalGradientDescent
@@ -26,6 +27,7 @@ SOLVERS = {
     "hqs": HQS,
     "pc": PockChambolle,
     "pgd": ProximalGradientDescent,
+    "cadmm": ConsensusADMM,
 }
 
 

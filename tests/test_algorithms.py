@@ -251,3 +251,51 @@ class TestSolveWithResiduals:
                 continue  # pgd partition may reject this objective
             with pytest.raises(NotImplementedError):
                 solver.solve_with_residuals(x0=b, max_iter=2)
+
+
+class TestConsensusADMM:
+    """Consensus-form ADMM (cadmm): block-separable per-fn updates."""
+
+    def test_two_quadratics_exact(self):
+        # min ||x-b1||^2 + ||x-b2||^2 -> x = (b1+b2)/2; consensus ADMM
+        # on quadratic blocks converges to the aggregate optimum
+        rng = np.random.RandomState(0)
+        b1 = jnp.asarray(rng.rand(1, 1, 8, 8), jnp.float32)
+        b2 = jnp.asarray(rng.rand(1, 1, 8, 8), jnp.float32)
+        x = dp.Variable()
+        s = dp.compile([dp.sum_squares(x - b1), dp.sum_squares(x - b2)],
+                       method="cadmm")
+        out = s.solve(x0=jnp.zeros_like(b1), max_iter=100, rhos=1.0,
+                      lams=0.1)
+        assert float(jnp.abs(out - (b1 + b2) / 2).max()) < 1e-5
+
+    def test_deconv_improves_psnr(self):
+        img, b, fns, x = _deconv_problem()
+        solver = dp.compile(fns, method="cadmm")
+        out = solver.solve(x0=b, max_iter=24, rhos=0.05, lams=0.01)
+        assert metrics.psnr(out, img) > metrics.psnr(b, img) + 0.5
+
+    def test_prior_ensemble_consensus_equilibrium(self):
+        # data term + TWO prior blocks (tv + nonneg): solver-level fusion
+        img, b, _, x = _deconv_problem()
+        psf = imaging.point_spread_function(15, 5)
+        fns = [dp.sum_squares(dp.conv(x, psf) - b),
+               dp.deep_prior(x, "tv"), dp.nonneg(x)]
+        solver = dp.compile(fns, method="cadmm")
+        out = solver.solve(x0=b, max_iter=24, rhos=0.05,
+                           lams={fns[1]: 0.02, fns[2]: 0.01})
+        assert metrics.psnr(out, img) > metrics.psnr(b, img) + 0.5
+
+    def test_residual_tracking(self):
+        img, b, fns, x = _deconv_problem()
+        solver = dp.compile(fns, method="cadmm")
+        out, res = solver.solve_with_residuals(x0=b, max_iter=30,
+                                               rhos=0.05, lams=0.01)
+        rp = np.asarray(res["r_primal"])
+        assert np.all(np.isfinite(rp)) and rp[-1] < rp[0]
+
+    def test_rejects_nonquadratic_composite_linop(self):
+        img, b, _, x = _deconv_problem()
+        fns = [dp.sum_squares(x - b), dp.norm1(dp.grad(x, 0))]
+        with pytest.raises(ValueError):
+            dp.compile(fns, method="cadmm")

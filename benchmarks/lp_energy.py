@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 import numpy as np
 
 
-def main(n_periods=512, n_tech=16, max_iters=20000):
+def main(n_periods=512, n_tech=16, max_iters=20000, fused=False):
     from scipy.optimize import linprog
 
     from dprox_tpu.contrib.energy_system import synthetic_cep_model
@@ -37,10 +37,32 @@ def main(n_periods=512, n_tech=16, max_iters=20000):
 
     from dprox_tpu.algo.lp import solve_lp
 
-    t0 = time.perf_counter()
-    x, history, results = solve_lp(c, A_ub, b_ub, A_eq, b_eq,
-                                   max_iters=max_iters, verbose=False)
-    t_admm = time.perf_counter() - t0
+    t_warm = None
+    if fused:
+        # single-device-program path: measure cold (incl. compile) and
+        # warm (cached executable) separately; defaults + on-device
+        # residual balancing, no pretraining
+        import jax
+        import jax.numpy as jnp
+        from dprox_tpu.algo.lp import LPProblem, LPSolverADMM
+
+        dt = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        p = LPProblem(c, A_ub, b_ub, A_eq, b_eq, dtype=dt)
+        s = LPSolverADMM(dtype=dt, verbose=False)
+        t0 = time.perf_counter()
+        x, res_f = s.solve_fused(p, max_iters=max_iters)
+        float(np.asarray(x)[0])
+        t_admm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x, res_f = s.solve_fused(p, max_iters=max_iters)
+        float(np.asarray(x)[0])
+        t_warm = time.perf_counter() - t0
+        history = {"r_norm": [res_f["r_norm"]] * (res_f["iters"] // 25)}
+    else:
+        t0 = time.perf_counter()
+        x, history, results = solve_lp(c, A_ub, b_ub, A_eq, b_eq,
+                                       max_iters=max_iters, verbose=False)
+        t_admm = time.perf_counter() - t0
     x = np.asarray(x)
 
     obj = float(c @ x)
@@ -53,6 +75,7 @@ def main(n_periods=512, n_tech=16, max_iters=20000):
         "n_var": int(n_var),
         "n_con": int(A_ub.shape[0] + A_eq.shape[0]),
         "lpadmm_wallclock_s": round(t_admm, 2),
+        "lpadmm_warm_wallclock_s": round(t_warm, 2) if t_warm else None,
         "highs_wallclock_s": round(t_highs, 2),
         "lpadmm_objective": round(obj, 2),
         "highs_objective": round(float(ref.fun), 2),
@@ -69,5 +92,6 @@ if __name__ == "__main__":
     ap.add_argument("--periods", type=int, default=512)
     ap.add_argument("--tech", type=int, default=16)
     ap.add_argument("--max-iters", type=int, default=20000)
+    ap.add_argument("--fused", action="store_true")
     a = ap.parse_args()
-    main(a.periods, a.tech, a.max_iters)
+    main(a.periods, a.tech, a.max_iters, a.fused)

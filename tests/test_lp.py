@@ -210,3 +210,25 @@ class TestConsensusLP:
         z, xs, hist, res = solver.solve(p, params=params, max_outer=40,
                                         eval_freq=40, tol=0)
         assert np.isfinite(res["objective"])
+
+
+def test_fused_solve_matches_chunked():
+    """solve_fused (single device program, on-device convergence +
+    residual balancing) agrees with the host-chunked solve."""
+    from dprox_tpu.algo.lp import LPProblem, LPSolverADMM
+
+    rng = np.random.RandomState(2)
+    n = 20
+    c = rng.rand(n) + 0.1
+    A_ub = sp.csr_matrix(rng.rand(10, n))
+    b_ub = A_ub @ rng.rand(n) + 0.5
+    A_eq = sp.csr_matrix(rng.rand(3, n))
+    b_eq = A_eq @ rng.rand(n)
+    p = LPProblem(c, A_ub, b_ub, A_eq, b_eq)
+    s = LPSolverADMM(verbose=False)
+    x1, hist, res1 = s.solve(p, max_iters=5000, residual_balance=True)
+    x2, res2 = s.solve_fused(p, max_iters=5000)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)
+    assert res2["r_norm"] < res2["eps_primal"]
+    assert res2["s_norm"] < res2["eps_dual"]
+    assert 0 < res2["iters"] <= 5000

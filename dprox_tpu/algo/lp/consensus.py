@@ -247,25 +247,15 @@ class ConsensusLPSolver:
                 print(f"pretrain step {i} loss={float(val):.4f}")
         return {k: jnp.asarray(v, dt) for k, v in to_params(best).items()}
 
-    def solve(self, p: ScenarioLP, params: Optional[dict] = None,
-              mesh: Optional[Mesh] = None, axis: str = "scenario",
-              max_outer: int = 400, eval_freq: int = 20, tol: float = 1e-3,
-              pcg_iters: int = 200, pcg_rtol: float = 1e-9,
-              adapt_rho_ph: bool = True):
-        """Returns (z, x_s, history, results).
-
-        z: consensus first-stage solution (true units, shape (k,));
-        x_s: per-scenario full solutions (S, n); results: dict with the
-        extensive-form objective and residuals at exit.
+    def _build(self, p: ScenarioLP, params, pcg_iters: int, pcg_rtol: float):
+        """Shared iteration machinery for ``solve`` (host-chunked) and
+        ``solve_fused`` (single device program): returns ``chunk_body``.
         """
-        params = params if params is not None else self.init_params()
         dt = self.dtype
         # same dtype-aware floor as LPSolverADMM: an unreachable inner
         # tolerance just burns the PCG iteration cap in roundoff noise
         pcg_rtol = max(pcg_rtol, 50 * float(jnp.finfo(dt).eps))
-        S, n = p.S, p.n
-        m = p.lb.shape[1]
-        k_sh = p.shared_idx.shape[0]
+        n = p.n
         E = jnp.asarray(p.shared_idx)
         w = p.w
         cbar = p.d * p.c
@@ -304,8 +294,8 @@ class ConsensusLPSolver:
 
         def chunk_body(x, zc, y, xt, u, z, lb_l, ub_l, rho_ph, steps,
                        gmean, gmax):
-            # rho_ph is a runtime scalar so host-side residual balancing
-            # never retraces the chunk
+            # rho_ph is a runtime scalar so residual balancing (host- or
+            # device-side) never retraces the chunk
             Pvec = jnp.zeros(n, dt).at[E].set(rho_ph * w**2)
             Minv_diag = 1.0 / (sigma + Pvec + rho * p.Acnorm**2)
             z_in = z
@@ -325,6 +315,26 @@ class ConsensusLPSolver:
             Ax = p.apply_A(x)
             r_p = gmax(jnp.max(jnp.abs(Ax - jnp.clip(Ax, lb_l, ub_l))))
             return carry, (r_na, obj, r_p, dz)
+
+        return chunk_body
+
+    def solve(self, p: ScenarioLP, params: Optional[dict] = None,
+              mesh: Optional[Mesh] = None, axis: str = "scenario",
+              max_outer: int = 400, eval_freq: int = 20, tol: float = 1e-3,
+              pcg_iters: int = 200, pcg_rtol: float = 1e-9,
+              adapt_rho_ph: bool = True):
+        """Returns (z, x_s, history, results).
+
+        z: consensus first-stage solution (true units, shape (k,));
+        x_s: per-scenario full solutions (S, n); results: dict with the
+        extensive-form objective and residuals at exit.
+        """
+        params = params if params is not None else self.init_params()
+        dt = self.dtype
+        S, n = p.S, p.n
+        m = p.lb.shape[1]
+        k_sh = p.shared_idx.shape[0]
+        chunk_body = self._build(p, params, pcg_iters, pcg_rtol)
 
         history = defaultdict(list)
 
@@ -425,16 +435,105 @@ class ConsensusLPSolver:
                    "rho_ph_final": rho_ph}
         return np.asarray(z), x_true, history, results
 
+    def solve_fused(self, p: ScenarioLP, params: Optional[dict] = None,
+                    mesh: Optional[Mesh] = None, axis: str = "scenario",
+                    max_outer: int = 400, eval_freq: int = 20,
+                    tol: float = 1e-3, pcg_iters: int = 200,
+                    pcg_rtol: float = 1e-9, adapt_rho_ph: bool = True):
+        """Whole consensus solve as ONE device program (counterpart of
+        ``LPSolverADMM.solve_fused``): ``lax.while_loop`` over jitted
+        chunks with on-device convergence tests and rho_ph residual
+        balancing. With a mesh, the loop — including the per-iteration
+        consensus ``pmean`` — runs inside one ``shard_map`` program (the
+        loop condition operands come from ``pmax``, so control flow is
+        uniform across devices). Returns (z, x_s, results)."""
+        params = params if params is not None else self.init_params()
+        dt = self.dtype
+        S, n = p.S, p.n
+        m = p.lb.shape[1]
+        k_sh = p.shared_idx.shape[0]
+        chunk_body = self._build(p, params, pcg_iters, pcg_rtol)
+        rho_ph0 = params["rho_ph"]
+
+        def fused(x, zc, y, xt, u, z, lb_l, ub_l, rho_ph0, gmean, gmax):
+            res0 = jnp.full(4, jnp.inf, dt)
+
+            def cond(st):
+                k, carry, rho_ph, done, res = st
+                return (k < max_outer) & (~done)
+
+            def body(st):
+                k, carry, rho_ph, done, res = st
+                carry, (r_na, obj, r_p, dz) = chunk_body(
+                    *carry, lb_l, ub_l, rho_ph, eval_freq, gmean, gmax)
+                k = k + eval_freq
+                done = (r_na < tol) & (r_p < tol * 10)
+                if adapt_rho_ph:
+                    s_norm = rho_ph * dz
+                    up = r_na > 10 * s_norm
+                    dn = s_norm > 10 * r_na
+                    rho_ph = jnp.where(
+                        (~done) & up,
+                        jnp.minimum(rho_ph * 2, rho_ph0 * 1e6),
+                        jnp.where((~done) & dn,
+                                  jnp.maximum(rho_ph / 2, rho_ph0 * 1e-4),
+                                  rho_ph))
+                res = jnp.stack([r_na, obj, r_p, rho_ph])
+                return (k, carry, rho_ph, done, res)
+
+            st = (jnp.asarray(0, jnp.int32), (x, zc, y, xt, u, z),
+                  jnp.asarray(rho_ph0, dt), jnp.asarray(False), res0)
+            k, carry, rho_ph, done, res = jax.lax.while_loop(cond, body, st)
+            return k, carry, res
+
+        x = jnp.zeros((S, n), dt)
+        zc = jnp.zeros((S, m), dt)
+        y = jnp.zeros((S, m), dt)
+        xt = jnp.zeros((S, n), dt)
+        u = jnp.zeros((S, k_sh), dt)
+        z = jnp.zeros(k_sh, dt)
+
+        if mesh is None:
+            gmean = lambda v: jnp.mean(v, axis=0)
+            gmax = lambda v: v
+            run = jax.jit(partial(fused, gmean=gmean, gmax=gmax))
+            k, carry, res = run(x, zc, y, xt, u, z, p.lb, p.ub, rho_ph0)
+        else:
+            n_dev = mesh.devices.size
+            assert S % n_dev == 0, (
+                f"n_scenarios={S} must divide over the {n_dev}-device mesh")
+            gmean = lambda v: jax.lax.pmean(jnp.mean(v, axis=0), axis)
+            gmax = lambda v: jax.lax.pmax(v, axis)
+            vary = P(axis)
+            repl = P()
+            f = shard_map(
+                partial(fused, gmean=gmean, gmax=gmax), mesh=mesh,
+                in_specs=(vary,) * 5 + (repl, vary, vary, repl),
+                out_specs=(repl, (vary,) * 5 + (repl,), repl))
+            k, carry, res = jax.jit(f)(x, zc, y, xt, u, z, p.lb, p.ub,
+                                       jnp.asarray(rho_ph0, dt))
+
+        x, zc, y, xt, u, z = carry
+        res = np.asarray(res)
+        x_true = np.asarray(p.d)[None] * np.asarray(x)
+        results = {"objective": float(res[1]),
+                   "r_nonanticipativity": float(res[0]),
+                   "r_primal": float(res[2]), "outer_iters": int(k),
+                   "rho_ph_final": float(res[3])}
+        return np.asarray(z), x_true, results
+
 
 def solve_consensus_lp(c, A_ub, b_ub, A_eq, b_eq_s, shared_idx,
                        mesh: Optional[Mesh] = None, dtype=None,
-                       pretrain_steps: int = 0, **kwargs):
+                       pretrain_steps: int = 0, fused: bool = False,
+                       **kwargs):
     """One-call scenario-consensus solve (counterpart of ``solve_lp``).
 
     ``pretrain_steps > 0`` first tunes (rho, sigma, alpha, rho_ph) by
     Adam on the truncated-run convergence loss (single-device,
     differentiable path), then runs the full — possibly mesh-sharded —
-    solve with the learned hyperparameters."""
+    solve with the learned hyperparameters. ``fused=True`` runs that
+    solve as one device program (no residual history)."""
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     solver_kw = {k: kwargs.pop(k) for k in
@@ -444,4 +543,8 @@ def solve_consensus_lp(c, A_ub, b_ub, A_eq, b_eq_s, shared_idx,
     solver = ConsensusLPSolver(dtype=dtype, **solver_kw)
     params = solver.pretrain(p, steps=pretrain_steps) if pretrain_steps \
         else None
+    if fused:
+        z, x_s, results = solver.solve_fused(p, params=params, mesh=mesh,
+                                             **kwargs)
+        return z, x_s, {}, results
     return solver.solve(p, params=params, mesh=mesh, **kwargs)

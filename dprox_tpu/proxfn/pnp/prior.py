@@ -75,6 +75,16 @@ def get_denoiser(kind: str) -> Denoiser:
         from .denoisers import DeepTVDenoiser
 
         return DeepTVDenoiser(get_denoiser("tiny_drunet_color"), weight=0.5)
+    if kind == "mid_drunet_color":
+        # scaled-up residual UNetRes (nc 48..384, nb=3, 120k steps,
+        # 3072-image mixed corpus) — see weights/README.md
+        return DRUNetDenoiser(
+            3, ckpt_path=find_weights("mid_drunet_color.msgpack"),
+            nc=(48, 96, 192, 384), nb=3, residual=True)
+    if kind == "mid_drunet_color_tv":
+        from .denoisers import DeepTVDenoiser
+
+        return DeepTVDenoiser(get_denoiser("mid_drunet_color"), weight=0.5)
     if kind == "drunet_color":
         return DRUNetDenoiser(3, ckpt_path=find_weights("drunet_color.pth"))
     if kind == "drunet":

@@ -283,6 +283,9 @@ if __name__ == "__main__":
                     choices=("uniform", "sq"))
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--chunk", type=int, default=200,
+                    help="steps per jitted scan; lower it if the remote-"
+                         "compile relay rejects the program (HTTP 413)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--arch", type=str, default="ffdnet",
@@ -292,4 +295,4 @@ if __name__ == "__main__":
           out_path=args.out, corpus=args.corpus, n_images=args.n_images,
           noise=args.noise, residual=args.residual,
           sigma_dist=args.sigma_dist, size=args.size, batch=args.batch,
-          lr=args.lr, seed=args.seed, arch=args.arch)
+          lr=args.lr, seed=args.seed, arch=args.arch, chunk=args.chunk)

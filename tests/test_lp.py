@@ -232,3 +232,24 @@ def test_fused_solve_matches_chunked():
     assert res2["r_norm"] < res2["eps_primal"]
     assert res2["s_norm"] < res2["eps_dual"]
     assert 0 < res2["iters"] <= 5000
+
+
+def test_consensus_fused_matches_chunked():
+    from dprox_tpu.algo.lp import ConsensusLPSolver, ScenarioLP
+    from dprox_tpu.contrib.energy_system import synthetic_cep_scenarios
+    from dprox_tpu.parallel import create_mesh
+
+    c, A_ub, A_eq, b_ub, b_eq_s, sh = synthetic_cep_scenarios(16, 4, 8)
+    p = ScenarioLP(c, A_ub, b_ub, A_eq, b_eq_s, sh)
+    s = ConsensusLPSolver()
+    kw = dict(max_outer=80, eval_freq=40, tol=1e-3)
+    z1, x1, _, r1 = s.solve(p, **kw)
+    z2, x2, r2 = s.solve_fused(p, **kw)
+    np.testing.assert_allclose(z1, z2, atol=1e-9)
+    assert r1["rho_ph_final"] == r2["rho_ph_final"]
+    # mesh variant: the while_loop (incl. consensus pmean) runs inside
+    # one shard_map program
+    mesh = create_mesh(("scenario",), (8,))
+    p2 = ScenarioLP(c, A_ub, b_ub, A_eq, b_eq_s, sh)
+    z3, x3, r3 = s.solve_fused(p2, mesh=mesh, **kw)
+    np.testing.assert_allclose(z2, z3, atol=1e-5)

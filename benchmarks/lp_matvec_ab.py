@@ -17,14 +17,7 @@ import jax
 import jax.numpy as jnp
 
 
-def sustain(fn, x, reps=200):
-    out = fn(x)
-    float(jnp.sum(out))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(out)
-    float(jnp.sum(out))
-    return (time.perf_counter() - t0) / reps * 1e3  # ms
+from _timing import sustained  # noqa: E402
 
 
 def main(n_periods=512, n_tech=16):
@@ -39,15 +32,17 @@ def main(n_periods=512, n_tech=16):
            "nnz": int(A.nnz)}
 
     Ab, ATb = scipy_to_bcoo(A, jnp.float32)
-    res["bcoo_ms"] = round(sustain(jax.jit(lambda v: ATb @ (Ab @ v)), x), 3)
+    res["bcoo_ms"] = round(
+        1e3 * sustained(jax.jit(lambda v: ATb @ (Ab @ v)), x, reps=200), 3)
 
     for bm, bn in [(8, 128), (32, 128), (128, 128)]:
         op = BSRMat(A, bm=bm, bn=bn, dtype=jnp.float32)
         key = f"bsr{bm}x{bn}"
         res[key + "_tiles"] = int(op.n_tiles)
         res[key + "_MB"] = round(op.nbytes() / 1e6, 1)
-        res[key + "_ms"] = round(
-            sustain(jax.jit(lambda v, op=op: op.rmatvec(op.matvec(v))), x), 3)
+        res[key + "_ms"] = round(1e3 * sustained(
+            jax.jit(lambda v, op=op: op.rmatvec(op.matvec(v))), x,
+            reps=200), 3)
 
     print(json.dumps(res))
 

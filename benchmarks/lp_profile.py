@@ -18,15 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
-def sustained(fn, x, reps=100):
-    out = fn(x)
-    float(jnp.sum(out))  # warm + force
-    t0 = time.perf_counter()
-    out = fn(x)
-    for _ in range(reps - 1):
-        out = fn(out)
-    float(jnp.sum(out))
-    return (time.perf_counter() - t0) / reps
+from _timing import sustained  # noqa: E402
 
 
 def main(n_periods=512, n_tech=16, admm_iters=200):

@@ -381,7 +381,7 @@ class ConsensusLPSolver:
             def run(carry, rho_ph, steps):
                 if steps not in _cache:
                     _cache[steps] = make_run(steps)
-                return _cache[steps](*carry, p.lb, p.ub, rho_ph)
+                return _cache[steps](*carry, lb_dev, ub_dev, rho_ph)
 
             shard = jax.sharding.NamedSharding(mesh, vary)
             repl_sh = jax.sharding.NamedSharding(mesh, repl)
@@ -391,8 +391,10 @@ class ConsensusLPSolver:
             xt = jax.device_put(jnp.zeros((S, n), dt), shard)
             u = jax.device_put(jnp.zeros((S, k_sh), dt), shard)
             z = jax.device_put(jnp.zeros(k_sh, dt), repl_sh)
-            p.lb = jax.device_put(p.lb, shard)
-            p.ub = jax.device_put(p.ub, shard)
+            # local copies: mutating p.lb/p.ub would commit the caller's
+            # problem object to this mesh's sharding as a side effect
+            lb_dev = jax.device_put(p.lb, shard)
+            ub_dev = jax.device_put(p.ub, shard)
             carry = (x, zc, y, xt, u, z)
 
         k = 0
@@ -493,25 +495,38 @@ class ConsensusLPSolver:
         u = jnp.zeros((S, k_sh), dt)
         z = jnp.zeros(k_sh, dt)
 
-        if mesh is None:
-            gmean = lambda v: jnp.mean(v, axis=0)
-            gmax = lambda v: v
-            run = jax.jit(partial(fused, gmean=gmean, gmax=gmax))
-            k, carry, res = run(x, zc, y, xt, u, z, p.lb, p.ub, rho_ph0)
-        else:
-            n_dev = mesh.devices.size
-            assert S % n_dev == 0, (
-                f"n_scenarios={S} must divide over the {n_dev}-device mesh")
-            gmean = lambda v: jax.lax.pmean(jnp.mean(v, axis=0), axis)
-            gmax = lambda v: jax.lax.pmax(v, axis)
-            vary = P(axis)
-            repl = P()
-            f = shard_map(
-                partial(fused, gmean=gmean, gmax=gmax), mesh=mesh,
-                in_specs=(vary,) * 5 + (repl, vary, vary, repl),
-                out_specs=(repl, (vary,) * 5 + (repl,), repl))
-            k, carry, res = jax.jit(f)(x, zc, y, xt, u, z, p.lb, p.ub,
-                                       jnp.asarray(rho_ph0, dt))
+        # cache compiled programs: re-solves (updated rhs/params) must hit
+        # the warm executable, not re-pay the relay compile
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        # params ride as closure constants inside chunk_body, so their
+        # VALUES must key the cache
+        key = (id(p), None if mesh is None else id(mesh), axis, max_outer,
+               eval_freq, tol, pcg_iters, adapt_rho_ph, self.inner_steps,
+               tuple(sorted((n_, float(v)) for n_, v in params.items())))
+        if key not in cache:
+            while len(cache) >= 4:
+                cache.pop(next(iter(cache)))
+            if mesh is None:
+                gmean = lambda v: jnp.mean(v, axis=0)
+                gmax = lambda v: v
+                cache[key] = jax.jit(partial(fused, gmean=gmean, gmax=gmax))
+            else:
+                n_dev = mesh.devices.size
+                assert S % n_dev == 0, (
+                    f"n_scenarios={S} must divide over the {n_dev}-device "
+                    f"mesh")
+                gmean = lambda v: jax.lax.pmean(jnp.mean(v, axis=0), axis)
+                gmax = lambda v: jax.lax.pmax(v, axis)
+                vary = P(axis)
+                repl = P()
+                cache[key] = jax.jit(shard_map(
+                    partial(fused, gmean=gmean, gmax=gmax), mesh=mesh,
+                    in_specs=(vary,) * 5 + (repl, vary, vary, repl),
+                    out_specs=(repl, (vary,) * 5 + (repl,), repl)))
+        k, carry, res = cache[key](x, zc, y, xt, u, z, p.lb, p.ub,
+                                   jnp.asarray(rho_ph0, dt))
 
         x, zc, y, xt, u, z = carry
         res = np.asarray(res)

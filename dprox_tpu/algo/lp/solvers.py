@@ -286,12 +286,17 @@ class LPSolverADMM:
         rtols_dev = jnp.asarray(
             np.maximum(np.logspace(-6, -10, 10000), rtol_floor), dt)
 
+        # abstol/reltol are traced into eval_result's thresholds, so they
+        # must key the cache; cap it so a sweep over many problems cannot
+        # pin device arrays + executables without bound
         key = ("fused", id(p), max_iters, eval_freq, pcg_iters,
-               residual_balance)
+               residual_balance, self.abstol, self.reltol)
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
         if key not in cache:
+            while len(cache) >= 4:
+                cache.pop(next(iter(cache)))
 
             @jax.jit
             def fused(c, lb, ub, rho0, sigma, alpha, gamma_c, gamma_b):
@@ -312,15 +317,20 @@ class LPSolverADMM:
                                               sigma, alpha, lb, ub,
                                               pcg_iters)
 
-                    carry = jax.lax.fori_loop(0, eval_freq, inner, carry)
-                    k = k + eval_freq
+                    # clamp the chunk so max_iters is never overrun
+                    # (dynamic fori_loop trip count lowers to while)
+                    steps = jnp.minimum(eval_freq, max_iters - k)
+                    carry = jax.lax.fori_loop(0, steps, inner, carry)
+                    k = k + steps
                     x, z, y, xt = carry
                     objval, r_norm, s_norm, eps_p, eps_d = self.eval_result(
                         p, c, gamma_c, gamma_b, x, z, y)
                     done = (r_norm < eps_p) & (s_norm < eps_d)
                     if residual_balance:
-                        # reference cadence: every 1000 iterations
-                        bal = (k % 1000 == 0) & (~done)
+                        # reference cadence: every 1000 iterations; fire
+                        # when a 1000 boundary was crossed this chunk so
+                        # any eval_freq works
+                        bal = ((k // 1000) > ((k - steps) // 1000)) & (~done)
                         up = (r_norm > 10 * eps_p) | (eps_d > 10 * s_norm)
                         dn = (s_norm > 10 * eps_d) | (eps_p > 10 * r_norm)
                         rho = jnp.where(

@@ -70,9 +70,10 @@ class BSRMat:
     Tiles are kept twice, once in row-major tile order (forward) and once
     column-major pre-transposed (transpose apply), so both directions see
     sorted output-segment ids — required by the Pallas kernel's
-    accumulate-while-revisiting scheme and optimal for segment_sum. Zero
-    tiles pad any uncovered output block (the kernel never initializes a
-    block it does not visit).
+    accumulate-while-revisiting scheme and optimal for segment_sum. (The
+    kernel zero-initializes the whole output at grid step 0 and the
+    segment_sum fallback zero-fills via num_segments, so uncovered output
+    blocks need no padding tiles.)
     """
 
     def __init__(self, A: sp.spmatrix, bm: int = 128, bn: int = 128,
@@ -91,16 +92,6 @@ class BSRMat:
         tiles[inv, coo.row % bm, coo.col % bn] = coo.data
         row_ids = (uniq // self.Nb).astype(np.int32)
         col_ids = (uniq % self.Nb).astype(np.int32)
-        # coverage padding: every row/col block id must appear
-        miss_r = np.setdiff1d(np.arange(self.Mb, dtype=np.int32), row_ids)
-        miss_c = np.setdiff1d(np.arange(self.Nb, dtype=np.int32), col_ids)
-        if len(miss_r) or len(miss_c):
-            pad = len(miss_r) + len(miss_c)
-            tiles = np.concatenate([tiles, np.zeros((pad, bm, bn))])
-            row_ids = np.concatenate(
-                [row_ids, miss_r, np.zeros(len(miss_c), np.int32)])
-            col_ids = np.concatenate(
-                [col_ids, np.zeros(len(miss_r), np.int32), miss_c])
         perm = np.lexsort((col_ids, row_ids))
         tiles, row_ids, col_ids = tiles[perm], row_ids[perm], col_ids[perm]
         permT = np.lexsort((row_ids, col_ids))
@@ -113,7 +104,8 @@ class BSRMat:
         self.col_idsT = jnp.asarray(col_ids[permT])
 
     def nbytes(self):
-        return self.n_tiles * self.bm * self.bn * 4
+        # x2: tiles are stored twice (forward + pre-transposed)
+        return 2 * self.n_tiles * self.bm * self.bn * self.tiles.dtype.itemsize
 
     def _matvec_impl(self, x):
         from ...ops.pallas_kernels import bsr_matvec
@@ -233,7 +225,9 @@ def scipy_to_device_op(A: sp.spmatrix, dtype=jnp.float32, bm: int = 128,
     tile_of = (probe.row // bm).astype(np.int64) * (-(-A.shape[1] // bn)) \
         + (probe.col // bn)
     T = len(np.unique(tile_of))
-    if T * bm * bn * 4 <= tile_budget_bytes:
+    # budget the REAL footprint: both tile copies at the requested dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    if 2 * T * bm * bn * itemsize <= tile_budget_bytes:
         op = BSRMat(A, bm=bm, bn=bn, dtype=dtype)
         return op, op.T
     return scipy_to_bcoo(A, dtype)

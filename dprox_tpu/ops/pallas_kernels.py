@@ -136,8 +136,8 @@ def freq_divide(F, diag, rho, eps: float = 1e-7, force: bool = False):
 # BCOO gather/scatter lowering runs at <1 GB/s effective. This kernel
 # streams the dense nonzero tiles once through VMEM with scalar-prefetched
 # block indices (the canonical Pallas block-sparse pattern). Output blocks
-# must be visited contiguously (sorted idx_out) and every output block
-# must appear at least once (the builder pads zero tiles for coverage).
+# must be visited contiguously (sorted idx_out); the kernel zero-inits the
+# whole output at grid step 0, so unvisited output blocks are fine.
 # --------------------------------------------------------------------------- #
 
 

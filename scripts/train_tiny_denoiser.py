@@ -204,7 +204,7 @@ def train(channels: int, nc: int = 32, nb: int = 8, size: int = 64,
     tx = optax.adam(sched)
     opt_state = tx.init(params)
 
-    def one_step(carry, key):
+    def one_step(data, carry, key):
         params, opt_state = carry
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         idx = jax.random.randint(k1, (batch,), 0, n_images)
@@ -233,17 +233,23 @@ def train(channels: int, nc: int = 32, nb: int = 8, size: int = 64,
         params = optax.apply_updates(params, upd)
         return (params, opt_state), loss
 
+    from functools import partial as _partial
+
     @jax.jit
-    def run_chunk(params, opt_state, key):
+    def run_chunk(params, opt_state, key, data):
+        # the corpus rides as an ARGUMENT: closed over it becomes an HLO
+        # constant that the remote-compile relay must buffer (>=340 MB at
+        # 3072x96^2x3 blew its HTTP 413 limit); as a parameter only the
+        # shape travels with the program
         keys = jax.random.split(key, chunk)
         (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), keys)
+            _partial(one_step, data), (params, opt_state), keys)
         return params, opt_state, jnp.mean(losses)
 
     key = jax.random.key(seed + 1)
     for i in range(steps // chunk):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = run_chunk(params, opt_state, sub)
+        params, opt_state, loss = run_chunk(params, opt_state, sub, data)
         if i % 5 == 0:
             print(f"step {(i + 1) * chunk}/{steps} loss {float(loss):.6f}",
                   flush=True)

@@ -171,7 +171,7 @@ def train(channels: int, nc: int = 32, nb: int = 8, size: int = 64,
           seed: int = 0, out_path: str | None = None,
           corpus: str = "synthetic", noise: str = "white",
           residual: bool = False, sigma_dist: str = "uniform",
-          arch: str = "ffdnet"):
+          arch: str = "ffdnet", clip: float = 0.0):
     if arch == "drunet":
         # compact UNetRes: 4 scales at nc/…, noise-map input channel;
         # `residual` is applied outside the net (x - net(x,σ)) to keep
@@ -201,7 +201,10 @@ def train(channels: int, nc: int = 32, nb: int = 8, size: int = 64,
     params = model.init(jax.random.key(seed),
                         jnp.zeros((1, size, size, channels)), jnp.zeros(()))
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
-    tx = optax.adam(sched)
+    # clip>0 guards the larger UNetRes configs: nc=48/nb=3 at lr 1e-3
+    # diverged without it (loss 3e7 by 120k steps)
+    tx = optax.chain(optax.clip_by_global_norm(clip), optax.adam(sched)) \
+        if clip > 0 else optax.adam(sched)
     opt_state = tx.init(params)
 
     def one_step(data, carry, key):
@@ -289,6 +292,8 @@ if __name__ == "__main__":
                     choices=("uniform", "sq"))
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--clip", type=float, default=0.0,
+                    help="global-norm gradient clip (0 = off)")
     ap.add_argument("--chunk", type=int, default=200,
                     help="steps per jitted scan; lower it if the remote-"
                          "compile relay rejects the program (HTTP 413)")
@@ -301,4 +306,5 @@ if __name__ == "__main__":
           out_path=args.out, corpus=args.corpus, n_images=args.n_images,
           noise=args.noise, residual=args.residual,
           sigma_dist=args.sigma_dist, size=args.size, batch=args.batch,
-          lr=args.lr, seed=args.seed, arch=args.arch, chunk=args.chunk)
+          lr=args.lr, seed=args.seed, arch=args.arch, chunk=args.chunk,
+          clip=args.clip)

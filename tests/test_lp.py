@@ -253,3 +253,25 @@ def test_consensus_fused_matches_chunked():
     p2 = ScenarioLP(c, A_ub, b_ub, A_eq, b_eq_s, sh)
     z3, x3, r3 = s.solve_fused(p2, mesh=mesh, **kw)
     np.testing.assert_allclose(z2, z3, atol=1e-5)
+
+
+def test_fused_solve_f32():
+    """f32 is the real-TPU dtype: the fused loop must converge with the
+    dtype-floored inner rtol schedule."""
+    from dprox_tpu.algo.lp import LPProblem, LPSolverADMM
+
+    rng = np.random.RandomState(4)
+    n = 20
+    c = rng.rand(n) + 0.1
+    A_ub = sp.csr_matrix(rng.rand(10, n))
+    b_ub = A_ub @ rng.rand(n) + 0.5
+    A_eq = sp.csr_matrix(rng.rand(3, n))
+    b_eq = A_eq @ rng.rand(n)
+    ref = linprog(c, A_ub.toarray(), b_ub, A_eq.toarray(), b_eq,
+                  bounds=[(0, None)] * n, method="highs")
+    p = LPProblem(c, A_ub, b_ub, A_eq, b_eq, dtype=jax.numpy.float32)
+    s = LPSolverADMM(dtype=jax.numpy.float32, verbose=False)
+    x, res = s.solve_fused(p, max_iters=8000)
+    obj = float(np.dot(c, np.asarray(x)))
+    assert abs(obj - ref.fun) / max(abs(ref.fun), 1) < 5e-2
+    assert float(np.abs(A_eq @ np.asarray(x) - b_eq).max()) < 5e-2

@@ -275,3 +275,22 @@ def test_fused_solve_f32():
     obj = float(np.dot(c, np.asarray(x)))
     assert abs(obj - ref.fun) / max(abs(ref.fun), 1) < 5e-2
     assert float(np.abs(A_eq @ np.asarray(x) - b_eq).max()) < 5e-2
+
+
+def test_consensus_mesh_solve_does_not_mutate_problem():
+    """Regression: the mesh solve used to device_put p.lb/p.ub with the
+    mesh sharding in place, committing the caller's problem object."""
+    from dprox_tpu.algo.lp import ConsensusLPSolver, ScenarioLP
+    from dprox_tpu.contrib.energy_system import synthetic_cep_scenarios
+    from dprox_tpu.parallel import create_mesh
+
+    c, A_ub, A_eq, b_ub, b_eq_s, sh = synthetic_cep_scenarios(16, 4, 8)
+    p = ScenarioLP(c, A_ub, b_ub, A_eq, b_eq_s, sh)
+    lb_before = np.asarray(p.lb).copy()
+    mesh = create_mesh(("scenario",), (8,))
+    s = ConsensusLPSolver()
+    s.solve(p, mesh=mesh, max_outer=4, eval_freq=4, tol=0)
+    # same values, and still usable by a single-device solve afterwards
+    np.testing.assert_array_equal(np.asarray(p.lb), lb_before)
+    z, xs, _, res = s.solve(p, max_outer=4, eval_freq=4, tol=0)
+    assert np.isfinite(res["objective"])

@@ -294,3 +294,19 @@ def test_consensus_mesh_solve_does_not_mutate_problem():
     np.testing.assert_array_equal(np.asarray(p.lb), lb_before)
     z, xs, _, res = s.solve(p, max_outer=4, eval_freq=4, tol=0)
     assert np.isfinite(res["objective"])
+
+
+def test_fused_solve_respects_max_iters():
+    from dprox_tpu.algo.lp import LPProblem, LPSolverADMM
+
+    rng = np.random.RandomState(7)
+    n = 15
+    c = rng.rand(n) + 0.1
+    A_eq = sp.csr_matrix(rng.rand(3, n))
+    b_eq = A_eq @ rng.rand(n)
+    p = LPProblem(c, None, None, A_eq, b_eq)
+    s = LPSolverADMM(verbose=False, abstol=1e-12, reltol=1e-12)
+    # unreachable tolerance: the loop must stop at exactly max_iters
+    # even when eval_freq does not divide it
+    x, res = s.solve_fused(p, max_iters=57, eval_freq=25)
+    assert res["iters"] == 57

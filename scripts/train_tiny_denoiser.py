@@ -86,13 +86,70 @@ def synth_images(n: int, size: int, channels: int, seed: int = 0) -> np.ndarray:
     return out
 
 
-def natural_crops(n: int, size: int, channels: int, seed: int = 0) -> np.ndarray:
+# Photographic textures bundled with other installed packages (zero-egress
+# environment). Curated: real photographs of materials/surfaces only — no
+# logos, diagrams, or flat tints. Missing entries are skipped so the
+# corpus stays buildable across environments.
+_SITE_TEXTURES = [
+    ("gymnasium_robotics", "envs/assets/kitchen_franka/kitchen_assets/"
+     "textures/wood1.png"),
+    ("gymnasium_robotics", "envs/assets/kitchen_franka/kitchen_assets/"
+     "textures/white_marble_tile.png"),
+    ("gymnasium_robotics", "envs/assets/kitchen_franka/kitchen_assets/"
+     "textures/white_marble_tile2.png"),
+    ("gymnasium_robotics", "envs/assets/adroit_hand/resources/textures/"
+     "darkwood.png"),
+    ("gymnasium_robotics", "envs/assets/adroit_hand/resources/textures/"
+     "silverRaw.png"),
+    ("gymnasium_robotics", "envs/assets/adroit_hand/resources/textures/"
+     "skin.png"),
+    ("dm_control", "suite/dog_assets/skin_texture.png"),
+    ("dm_control", "locomotion/arenas/assets/outdoor_natural/"
+     "OutdoorGrassFloorD.png"),
+    ("dm_control", "locomotion/arenas/assets/outdoor_natural/"
+     "OutdoorSkybox2048.png"),
+    ("dm_control", "locomotion/soccer/assets/pitch/pitch_m.png"),
+    ("labmaze", "assets/style_01/floor_red_team_d.png"),
+    ("labmaze", "assets/style_02/wall_yellow_d.png"),
+    ("labmaze", "assets/style_03/floor_purple_d.png"),
+    ("labmaze", "assets/style_05/floor_orange_bright_d.png"),
+    ("labmaze", "assets/sky_01/up.png"),
+]
+
+
+def _site_texture_photos():
+    import importlib
+
+    from PIL import Image
+
+    photos = []
+    for pkg, rel in _SITE_TEXTURES:
+        try:
+            root = os.path.dirname(importlib.import_module(pkg).__file__)
+        except ImportError:
+            continue
+        path = os.path.join(root, rel)
+        if not os.path.exists(path):
+            continue
+        img = Image.open(path).convert("RGB")
+        # cap huge assets so corpus build stays fast
+        if max(img.size) > 1024:
+            f = 1024 / max(img.size)
+            img = img.resize((int(img.size[0] * f), int(img.size[1] * f)),
+                             Image.BILINEAR)
+        photos.append(np.asarray(img, np.float32) / 255.0)
+    return photos
+
+
+def natural_crops(n: int, size: int, channels: int, seed: int = 0,
+                  extra_textures: bool = False) -> np.ndarray:
     """Augmented random crops from the natural photographs bundled with
     sklearn (china.jpg, flower.jpg). matplotlib's grace_hopper.jpg is
     deliberately EXCLUDED — it is the held-out natural eval image in
     scripts/eval_prior_quality.py. Augmentations: random crop scale,
     flips, 90-degree rotations, channel permutation, brightness/contrast
-    jitter."""
+    jitter. ``extra_textures`` adds the curated photographic textures
+    bundled with other installed packages (_SITE_TEXTURES)."""
     import sklearn.datasets
     from PIL import Image
 
@@ -101,6 +158,8 @@ def natural_crops(n: int, size: int, channels: int, seed: int = 0) -> np.ndarray
     for fname in ("china.jpg", "flower.jpg"):
         img = np.asarray(Image.open(os.path.join(root, fname)), np.float32)
         photos.append(img / 255.0)
+    if extra_textures:
+        photos += _site_texture_photos()
 
     rng = np.random.RandomState(seed + 7919)
     out = np.zeros((n, size, size, channels), np.float32)
@@ -142,6 +201,15 @@ def build_corpus(corpus: str, n_images: int, size: int, channels: int,
         return np.concatenate([
             synth_images(half, size, channels, seed),
             natural_crops(n_images - half, size, channels, seed),
+        ])
+    if corpus == "mixed_plus":
+        # 1/3 synthetic, 2/3 natural incl. the curated site-package
+        # photographic textures (wood/marble/skin/grass/sky)
+        third = n_images // 3
+        return np.concatenate([
+            synth_images(third, size, channels, seed),
+            natural_crops(n_images - third, size, channels, seed,
+                          extra_textures=True),
         ])
     raise ValueError(f"unknown corpus {corpus!r}")
 
@@ -283,7 +351,7 @@ if __name__ == "__main__":
     ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--corpus", type=str, default="synthetic",
-                    choices=("synthetic", "natural", "mixed"))
+                    choices=("synthetic", "natural", "mixed", "mixed_plus"))
     ap.add_argument("--noise", type=str, default="white",
                     choices=("white", "colored"))
     ap.add_argument("--n-images", type=int, default=512)

@@ -13,8 +13,14 @@ first-stage block): each scenario solves an LP + quadratic
 nonanticipativity penalty — a QP handled by the same OSQP-style
 splitting as :class:`LPSolverADMM` with a diagonal quadratic term — and
 the consensus variable is the probability-weighted mean of the scenario
-first-stage iterates, one ``pmean`` per outer iteration over the mesh
-axis (ICI/DCN).
+first-stage iterates (``probs=None`` means equiprobable scenarios), one
+``pmean`` per outer iteration over the mesh axis (ICI/DCN).
+
+Stopping rule: the consensus (nonanticipativity) residual must reach
+``tol`` and the worst scenario-subproblem primal infeasibility must
+reach ``10*tol`` — the looser factor because the inner OSQP split only
+enforces Ax in [lb, ub] asymptotically and r_p trails r_na by about an
+order of magnitude along the whole trajectory.
 
 TPU-first design points:
 
@@ -58,7 +64,7 @@ class ScenarioLP:
     """
 
     def __init__(self, c, A_ub, b_ub, A_eq, b_eq_s, shared_idx,
-                 b_ub_s=None, dtype=jnp.float64):
+                 b_ub_s=None, probs=None, dtype=jnp.float64):
         n = c.shape[0]
         self.dtype = dtype
         A_ub = sp.csr_matrix(A_ub) if A_ub is not None else sp.csr_matrix((0, n))
@@ -87,6 +93,18 @@ class ScenarioLP:
         self.c = jnp.asarray(np.asarray(c).ravel(), dtype)
         self.shared_idx = np.asarray(shared_idx, np.int32)
         self.w = self.d[self.shared_idx]  # scaled->true factors, shared coords
+        # scenario probabilities, normalized to mean 1 so a plain
+        # (p)mean of pn*v is the probability-weighted mean; None =
+        # equiprobable scenarios
+        if probs is None:
+            pn = np.ones(S)
+        else:
+            probs = np.asarray(probs, np.float64).ravel()
+            if probs.shape[0] != S or (probs <= 0).any():
+                raise ValueError(
+                    f"probs must be {S} positive weights, got {probs.shape}")
+            pn = S * probs / probs.sum()
+        self.pn = jnp.asarray(pn, dtype)
 
         # per-scenario bounds in equilibrated row coordinates
         e = np.asarray(e)
@@ -181,7 +199,7 @@ class ConsensusLPSolver:
             (x, zc, y, xt), _ = jax.lax.scan(inner, (x, zc, y, xt), None,
                                              length=inner_steps)
             xE = w[None] * x[:, E]
-            z = jnp.mean(xE, axis=0)
+            z = jnp.mean(p.pn[:, None] * xE, axis=0)
             u = u + rho_ph * (xE - z[None])
             return (x, zc, y, xt, u, z), None
 
@@ -194,7 +212,7 @@ class ConsensusLPSolver:
         r_na = jnp.max(jnp.abs(xE - z[None]))
         Ax = p.apply_A(x)
         r_p = jnp.max(jnp.abs(Ax - jnp.clip(Ax, p.lb, p.ub)))
-        obj = p.c @ (p.d[None] * x).mean(0)
+        obj = p.c @ (p.pn[:, None] * p.d[None] * x).mean(0)
         return r_na, r_p, obj
 
     def pretrain(self, p: ScenarioLP, steps: int = 10, lr: float = 2e-2,
@@ -280,7 +298,7 @@ class ConsensusLPSolver:
             y = y + rho * (zt - zc)
             return (x, zc, y, xt, q), None
 
-        def outer_iter(lb_l, ub_l, gmean, rho_ph, Pvec, Minv_diag, carry, _):
+        def outer_iter(lb_l, ub_l, wmean, rho_ph, Pvec, Minv_diag, carry):
             x, zc, y, xt, u, z = carry
             q = cbar[None] + jnp.zeros((x.shape[0], n), dt).at[:, E].add(
                 w[None] * (u - rho_ph * z[None]))
@@ -288,29 +306,33 @@ class ConsensusLPSolver:
                 partial(inner_iter, lb_l, ub_l, Pvec, Minv_diag),
                 (x, zc, y, xt, q), None, length=self.inner_steps)
             xE = w[None] * x[:, E]  # true units
-            z = gmean(xE)
+            z = wmean(xE)
             u = u + rho_ph * (xE - z[None])
-            return (x, zc, y, xt, u, z), None
+            return (x, zc, y, xt, u, z)
 
-        def chunk_body(x, zc, y, xt, u, z, lb_l, ub_l, rho_ph, steps,
+        def chunk_body(x, zc, y, xt, u, z, lb_l, ub_l, pn_l, rho_ph, steps,
                        gmean, gmax):
-            # rho_ph is a runtime scalar so residual balancing (host- or
-            # device-side) never retraces the chunk
+            # rho_ph and steps are runtime scalars so residual balancing
+            # and last-chunk clamping (host- or device-side) never
+            # retrace the chunk
             Pvec = jnp.zeros(n, dt).at[E].set(rho_ph * w**2)
             Minv_diag = 1.0 / (sigma + Pvec + rho * p.Acnorm**2)
+            # probability-weighted mean: pn is normalized so the global
+            # mean of pn is 1, hence (p)mean(pn*v) = sum_s p_s v_s
+            wmean = lambda v: gmean(pn_l[:, None] * v)
             z_in = z
-            carry, _ = jax.lax.scan(
-                partial(outer_iter, lb_l, ub_l, gmean, rho_ph, Pvec,
-                        Minv_diag),
-                (x, zc, y, xt, u, z), None, length=steps)
+            step_fn = partial(outer_iter, lb_l, ub_l, wmean, rho_ph, Pvec,
+                              Minv_diag)
+            carry = jax.lax.fori_loop(
+                0, steps, lambda i, c: step_fn(c), (x, zc, y, xt, u, z))
             x, zc, y, xt, u, z = carry
             xE = w[None] * x[:, E]
             r_na = gmax(jnp.max(jnp.abs(xE - z[None])))
             # consensus dual-residual proxy: mean per-iteration z movement
-            dz = jnp.max(jnp.abs(z - z_in)) / steps
+            dz = jnp.max(jnp.abs(z - z_in)) / jnp.asarray(steps, dt)
             x_true = p.d[None] * x
             obj_local = x_true[:, local_mask] @ c_true[local_mask]
-            obj = c_true[E] @ z + gmean(obj_local[:, None])[0]
+            obj = c_true[E] @ z + wmean(obj_local[:, None])[0]
             # worst primal infeasibility of the scenario subproblems
             Ax = p.apply_A(x)
             r_p = gmax(jnp.max(jnp.abs(Ax - jnp.clip(Ax, lb_l, ub_l))))
@@ -344,7 +366,7 @@ class ConsensusLPSolver:
 
             @partial(jax.jit, static_argnames=("steps",))
             def run(carry, rho_ph, steps):
-                return chunk_body(*carry, p.lb, p.ub, rho_ph, steps,
+                return chunk_body(*carry, p.lb, p.ub, p.pn, rho_ph, steps,
                                   gmean, gmax)
 
             x = jnp.zeros((S, n), dt)
@@ -361,9 +383,9 @@ class ConsensusLPSolver:
             gmean = lambda v: jax.lax.pmean(jnp.mean(v, axis=0), axis)
             gmax = lambda v: jax.lax.pmax(v, axis)
 
-            def sharded(x, zc, y, xt, u, z, lb_l, ub_l, rho_ph, steps):
-                return chunk_body(x, zc, y, xt, u, z, lb_l, ub_l, rho_ph,
-                                  steps, gmean, gmax)
+            def sharded(x, zc, y, xt, u, z, lb_l, ub_l, pn_l, rho_ph, steps):
+                return chunk_body(x, zc, y, xt, u, z, lb_l, ub_l, pn_l,
+                                  rho_ph, steps, gmean, gmax)
 
             vary = P(axis)
             repl = P()
@@ -371,7 +393,7 @@ class ConsensusLPSolver:
             def make_run(steps):
                 f = shard_map(
                     partial(sharded, steps=steps), mesh=mesh,
-                    in_specs=(vary,) * 5 + (repl, vary, vary, repl),
+                    in_specs=(vary,) * 5 + (repl, vary, vary, vary, repl),
                     out_specs=((vary,) * 5 + (repl,),
                                (repl, repl, repl, repl)))
                 return jax.jit(f)
@@ -381,7 +403,7 @@ class ConsensusLPSolver:
             def run(carry, rho_ph, steps):
                 if steps not in _cache:
                     _cache[steps] = make_run(steps)
-                return _cache[steps](*carry, lb_dev, ub_dev, rho_ph)
+                return _cache[steps](*carry, lb_dev, ub_dev, pn_dev, rho_ph)
 
             shard = jax.sharding.NamedSharding(mesh, vary)
             repl_sh = jax.sharding.NamedSharding(mesh, repl)
@@ -395,6 +417,7 @@ class ConsensusLPSolver:
             # problem object to this mesh's sharding as a side effect
             lb_dev = jax.device_put(p.lb, shard)
             ub_dev = jax.device_put(p.ub, shard)
+            pn_dev = jax.device_put(p.pn, shard)
             carry = (x, zc, y, xt, u, z)
 
         k = 0
@@ -457,7 +480,7 @@ class ConsensusLPSolver:
         chunk_body = self._build(p, params, pcg_iters, pcg_rtol)
         rho_ph0 = params["rho_ph"]
 
-        def fused(x, zc, y, xt, u, z, lb_l, ub_l, rho_ph0, gmean, gmax):
+        def fused(x, zc, y, xt, u, z, lb_l, ub_l, pn_l, rho_ph0, gmean, gmax):
             res0 = jnp.full(4, jnp.inf, dt)
 
             def cond(st):
@@ -466,9 +489,14 @@ class ConsensusLPSolver:
 
             def body(st):
                 k, carry, rho_ph, done, res = st
+                # clamp the last chunk so max_outer is never overrun when
+                # eval_freq does not divide it (same policy as
+                # LPSolverADMM.solve_fused; chunk_body takes steps as a
+                # runtime fori_loop bound)
+                steps = jnp.minimum(eval_freq, max_outer - k)
                 carry, (r_na, obj, r_p, dz) = chunk_body(
-                    *carry, lb_l, ub_l, rho_ph, eval_freq, gmean, gmax)
-                k = k + eval_freq
+                    *carry, lb_l, ub_l, pn_l, rho_ph, steps, gmean, gmax)
+                k = k + steps
                 done = (r_na < tol) & (r_p < tol * 10)
                 if adapt_rho_ph:
                     s_norm = rho_ph * dz
@@ -500,10 +528,12 @@ class ConsensusLPSolver:
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
-        # params ride as closure constants inside chunk_body, so their
-        # VALUES must key the cache
+        # params and the (floored) inner CG tolerance ride as closure
+        # constants inside chunk_body, so their VALUES must key the cache
+        pcg_rtol_floored = max(pcg_rtol, 50 * float(jnp.finfo(dt).eps))
         key = (id(p), None if mesh is None else id(mesh), axis, max_outer,
-               eval_freq, tol, pcg_iters, adapt_rho_ph, self.inner_steps,
+               eval_freq, tol, pcg_iters, pcg_rtol_floored, adapt_rho_ph,
+               self.inner_steps,
                tuple(sorted((n_, float(v)) for n_, v in params.items())))
         if key not in cache:
             while len(cache) >= 4:
@@ -523,9 +553,9 @@ class ConsensusLPSolver:
                 repl = P()
                 cache[key] = jax.jit(shard_map(
                     partial(fused, gmean=gmean, gmax=gmax), mesh=mesh,
-                    in_specs=(vary,) * 5 + (repl, vary, vary, repl),
+                    in_specs=(vary,) * 5 + (repl, vary, vary, vary, repl),
                     out_specs=(repl, (vary,) * 5 + (repl,), repl)))
-        k, carry, res = cache[key](x, zc, y, xt, u, z, p.lb, p.ub,
+        k, carry, res = cache[key](x, zc, y, xt, u, z, p.lb, p.ub, p.pn,
                                    jnp.asarray(rho_ph0, dt))
 
         x, zc, y, xt, u, z = carry
@@ -541,9 +571,11 @@ class ConsensusLPSolver:
 def solve_consensus_lp(c, A_ub, b_ub, A_eq, b_eq_s, shared_idx,
                        mesh: Optional[Mesh] = None, dtype=None,
                        pretrain_steps: int = 0, fused: bool = False,
-                       **kwargs):
+                       probs=None, **kwargs):
     """One-call scenario-consensus solve (counterpart of ``solve_lp``).
 
+    ``probs``: optional per-scenario probabilities (consensus and the
+    reported objective are probability-weighted; None = equiprobable).
     ``pretrain_steps > 0`` first tunes (rho, sigma, alpha, rho_ph) by
     Adam on the truncated-run convergence loss (single-device,
     differentiable path), then runs the full — possibly mesh-sharded —
@@ -554,7 +586,8 @@ def solve_consensus_lp(c, A_ub, b_ub, A_eq, b_eq_s, shared_idx,
     solver_kw = {k: kwargs.pop(k) for k in
                  ("rho", "sigma", "alpha", "rho_ph", "inner_steps", "verbose")
                  if k in kwargs}
-    p = ScenarioLP(c, A_ub, b_ub, A_eq, b_eq_s, shared_idx, dtype=dtype)
+    p = ScenarioLP(c, A_ub, b_ub, A_eq, b_eq_s, shared_idx, probs=probs,
+                   dtype=dtype)
     solver = ConsensusLPSolver(dtype=dtype, **solver_kw)
     params = solver.pretrain(p, steps=pretrain_steps) if pretrain_steps \
         else None

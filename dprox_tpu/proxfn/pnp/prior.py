@@ -18,13 +18,34 @@ from ...utils.misc import safe_sqrt
 from ..base import ProxFn
 from .denoisers import (Augment, Denoiser, DRUNetDenoiser, FFDNetColorDenoiser,
                         FFDNetDenoiser, IRCNNDenoiser, TVDenoiser, UNetDenoiser)
-from .hub import find_weights
+from .hub import find_weights as _find_weights
+
+
+def find_weights(filename: str, kind: Optional[str] = None):
+    """Lookup wrapper that WARNS when a registered kind's weights are
+    absent: the denoiser modules fall back to random initialization when
+    ckpt_path is None, which silently produces an untrained prior. The
+    shipped .msgpack weights are reproducible offline with
+    ``scripts/train_tiny_denoiser.py`` (see weights/README.md)."""
+    path = _find_weights(filename)
+    if path is None:
+        import warnings
+
+        warnings.warn(
+            f"weights '{filename}'{f' for denoiser {kind!r}' if kind else ''} "
+            "not found in any cache dir — the denoiser will run with "
+            "RANDOM-INITIALIZED parameters. Shipped priors are retrainable "
+            "offline: see weights/README.md / scripts/train_tiny_denoiser.py.",
+            stacklevel=3)
+    return path
 
 
 def get_denoiser(kind: str) -> Denoiser:
     """Registry keyed by string, loading local pretrained weights when
     available (reference: prior.py:15-36; weights looked up offline via
-    dprox_tpu.proxfn.pnp.hub instead of HuggingFace downloads)."""
+    dprox_tpu.proxfn.pnp.hub instead of HuggingFace downloads).
+    A registered kind whose weight file is missing warns (see
+    ``find_weights``) rather than silently running untrained."""
     if kind == "ffdnet":
         return FFDNetDenoiser(ckpt_path=find_weights("ffdnet_gray.pth"))
     if kind == "tiny_ffdnet":

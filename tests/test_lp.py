@@ -185,6 +185,57 @@ class TestConsensusLP:
         assert np.isfinite(res["objective"])
         assert res["r_nonanticipativity"] < 10.0
 
+    def test_probs_weighting_matches_duplication(self):
+        """probs=[2,1,1]/4 on 3 scenarios == uniform over 4 scenarios
+        with the first duplicated (probability-weighted progressive
+        hedging is exactly scenario replication)."""
+        from dprox_tpu.algo.lp import ConsensusLPSolver, ScenarioLP
+
+        c, A_ub, A_eq, b_ub, b_eq_s, sh = self._instance(S=4)
+        b3 = b_eq_s[1:]  # 3 distinct scenarios
+        b4 = np.concatenate([b3[:1], b3], axis=0)  # first duplicated
+        kw = dict(max_outer=60, eval_freq=30, tol=0, adapt_rho_ph=False)
+        s = ConsensusLPSolver()
+        pw = ScenarioLP(c, A_ub, b_ub, A_eq, b3, sh,
+                        probs=np.array([2.0, 1.0, 1.0]))
+        pd = ScenarioLP(c, A_ub, b_ub, A_eq, b4, sh)
+        zw, _, _, rw = s.solve(pw, **kw)
+        zd, _, _, rd = s.solve(pd, **kw)
+        np.testing.assert_allclose(zw, zd, atol=1e-8)
+        np.testing.assert_allclose(rw["objective"], rd["objective"],
+                                   rtol=1e-9)
+
+    def test_fused_clamps_non_divisible_eval_freq(self):
+        """eval_freq=25, max_outer=57: the fused loop must stop at
+        exactly 57 outer iterations (last chunk clamped), matching the
+        host-chunked solve."""
+        from dprox_tpu.algo.lp import ConsensusLPSolver, ScenarioLP
+
+        c, A_ub, A_eq, b_ub, b_eq_s, sh = self._instance(S=4)
+        p = ScenarioLP(c, A_ub, b_ub, A_eq, b_eq_s, sh)
+        s = ConsensusLPSolver()
+        kw = dict(max_outer=57, eval_freq=25, tol=0, adapt_rho_ph=False)
+        z1, _, _, r1 = s.solve(p, **kw)
+        z2, _, r2 = s.solve_fused(p, **kw)
+        assert r2["outer_iters"] == 57 == r1["outer_iters"]
+        np.testing.assert_allclose(z1, z2, atol=1e-10)
+
+    def test_fused_cache_respects_pcg_rtol(self):
+        """Two solve_fused calls on the same problem differing only in
+        pcg_rtol must not share a compiled executable (ADVICE round 1:
+        the rtol is baked into the chunk closure)."""
+        from dprox_tpu.algo.lp import ConsensusLPSolver, ScenarioLP
+
+        c, A_ub, A_eq, b_ub, b_eq_s, sh = self._instance(S=4)
+        p = ScenarioLP(c, A_ub, b_ub, A_eq, b_eq_s, sh)
+        s = ConsensusLPSolver()
+        kw = dict(max_outer=20, eval_freq=20, tol=0, adapt_rho_ph=False)
+        s.solve_fused(p, pcg_rtol=1e-9, **kw)
+        n1 = len(s._fused_cache)
+        # a crude rtol (1e-1) must trace a NEW program, not reuse 1e-9's
+        s.solve_fused(p, pcg_rtol=1e-1, **kw)
+        assert len(s._fused_cache) == n1 + 1
+
     def test_pretrain_reduces_convergence_loss(self):
         import jax.numpy as jnp
 

@@ -30,6 +30,33 @@ def pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     return x.reshape(N, H * r, W * r, C)
 
 
+def upsample_align_corners(x: jnp.ndarray, axes: Sequence[int],
+                           factor: int = 2) -> jnp.ndarray:
+    """Linear upsample with torch's ``align_corners=True`` grid.
+
+    jax.image.resize uses half-pixel centers, so it does NOT match
+    torch ``nn.Upsample(mode='bilinear'/'trilinear',
+    align_corners=True)`` (unet/unet.py:96, qrnn/conv.py:44 in the
+    reference). align_corners maps output j to source j*(N-1)/(M-1):
+    implemented per axis as a gather + lerp (XLA fuses the pair).
+    """
+    for axis in axes:
+        n = x.shape[axis]
+        m = n * factor
+        if n == 1:
+            x = jnp.repeat(x, factor, axis=axis)
+            continue
+        pos = jnp.arange(m, dtype=jnp.float32) * ((n - 1) / (m - 1))
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n - 1)
+        w = (pos - lo).astype(x.dtype)
+        shape = [1] * x.ndim
+        shape[axis] = m
+        w = w.reshape(shape)
+        x = jnp.take(x, lo, axis=axis) * (1 - w) + jnp.take(x, hi, axis=axis) * w
+    return x
+
+
 def replication_pad_to_even(x: jnp.ndarray, multiple: int = 2):
     """Pad H/W (edge mode) up to the next multiple; returns (x, h, w)."""
     h, w = x.shape[1], x.shape[2]

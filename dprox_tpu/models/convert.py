@@ -33,8 +33,15 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             for k, v in sd.items()}
 
 
-def fold_batchnorm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Fold conv->BN pairs into the conv (keys must be ordered)."""
+def fold_batchnorm(sd: Dict[str, np.ndarray],
+                   bn_eps: float = 1e-4) -> Dict[str, np.ndarray]:
+    """Fold conv->BN pairs into the conv (keys must be ordered).
+
+    ``bn_eps`` defaults to 1e-4: every BN-bearing 2-D checkpoint in the
+    reference zoo builds its BatchNorm2d with eps=1e-04 (KAIR style,
+    reference denoisers/models/basicblock.py:69) — the torch default
+    1e-5 costs ~3e-3 relative output error on low-variance channels.
+    """
     keys = list(sd.keys())
     out = dict(sd)
     for i, k in enumerate(keys):
@@ -52,7 +59,7 @@ def fold_batchnorm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
                     break
             if conv_w_key is None:
                 continue
-            scale = gamma / np.sqrt(var + 1e-5)
+            scale = gamma / np.sqrt(var + bn_eps)
             w = sd[conv_w_key] * scale[:, None, None, None]
             conv_b_key = conv_w_key[: -len("weight")] + "bias"
             b = sd.get(conv_b_key, np.zeros_like(mean))
@@ -65,52 +72,74 @@ def fold_batchnorm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
-def torch_to_flax(sd: Dict[str, np.ndarray], flax_params) -> Dict:
+def _iter_conv_dicts(params, path=()):
+    """Yield (path, leaf_dict) for every conv param group ({'kernel',
+    optional 'bias'}) in INSERTION order of the nested dicts.
+
+    Flax builds the params dict in module-creation order (= the torch
+    Sequential order for this zoo), but jax.tree_util flattens dicts in
+    sorted-key order, which mis-pairs stacks of >=10 convs
+    ('Conv_10' sorts before 'Conv_2') and any net mixing module types
+    ('DownStrideConv_*' vs 'ResBlock_*'). Walking the raw dict preserves
+    creation order, which is the invariant positional matching needs.
+    """
+    if isinstance(params, dict):
+        if "kernel" in params:
+            yield path, params
+            return
+        for k, v in params.items():
+            yield from _iter_conv_dicts(v, path + (k,))
+
+
+def torch_to_flax(sd: Dict[str, np.ndarray], flax_params,
+                  bn_eps: float = 1e-4) -> Dict:
     """Positionally map an (ordered) torch state_dict onto flax params.
 
-    Kernels: OIHW -> HWIO; transpose convs: IOHW -> HWIO with spatial flip
-    matching jax ConvTranspose semantics.
+    Conv kernels: OIHW -> HWIO; transpose convs (flax path contains
+    'ConvTranspose'): IOHW -> HWIO with spatial flip matching jax
+    ConvTranspose semantics; 3-D convs: OIDHW -> DHWIO. BatchNorms fold
+    into the preceding conv (see :func:`fold_batchnorm` for bn_eps).
     """
-    sd = fold_batchnorm(sd)
-    convs: List[tuple] = []  # (weight, bias or None, is_transpose)
-    keys = [k for k in sd if k.endswith("weight") and sd[k].ndim == 4]
+    sd = fold_batchnorm(sd, bn_eps=bn_eps)
+    convs: List[tuple] = []  # (weight, bias or None)
+    keys = [k for k in sd if k.endswith("weight") and sd[k].ndim in (4, 5)]
     for k in keys:
         w = sd[k]
         b = sd.get(k[: -len("weight")] + "bias")
         convs.append((w, b))
 
-    flat, treedef = jax.tree_util.tree_flatten_with_path(flax_params)
-    # group flax leaves by module path: kernel (+ bias)
-    new_leaves = []
-    conv_idx = 0
-    path_map = {jax.tree_util.keystr(p): i for i, (p, _) in enumerate(flat)}
-    leaves = [v for _, v in flat]
+    def _copy(d):  # manual deep copy: jax.tree.map would SORT dict keys
+        return {k: _copy(v) for k, v in d.items()} if isinstance(d, dict) else d
 
-    # iterate kernels in flax traversal order
-    kernel_indices = [i for i, (p, v) in enumerate(flat)
-                      if jax.tree_util.keystr(p).endswith("['kernel']")]
-    for i in kernel_indices:
-        p, v = flat[i]
+    params = _copy(flax_params)
+    conv_idx = 0
+    for path, leaf in _iter_conv_dicts(params):
+        v = leaf["kernel"]
+        if getattr(v, "ndim", 0) not in (4, 5):
+            continue  # Dense or scale params are not positional convs
         if conv_idx >= len(convs):
             raise ValueError("torch checkpoint has fewer convs than the flax model")
         w, b = convs[conv_idx]
         conv_idx += 1
-        if w.shape[0] == v.shape[-1] and w.shape[1] == v.shape[-2]:
-            wj = np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
-        elif w.shape[1] == v.shape[-1] and w.shape[0] == v.shape[-2]:
+        is_transpose = any("ConvTranspose" in c for c in path)
+        if w.ndim == 5:  # torch Conv3d OIDHW -> flax DHWIO
+            wj = np.transpose(w, (2, 3, 4, 1, 0))
+        elif is_transpose:
             # torch ConvTranspose2d: IOHW; flax ConvTranspose kernel HWIO
             # with flipped spatial taps relative to torch
             wj = np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
         else:
-            raise ValueError(f"shape mismatch: torch {w.shape} vs flax {v.shape}")
-        assert wj.shape == v.shape, f"{wj.shape} != {v.shape}"
-        leaves[i] = jnp.asarray(wj)
-        bias_key = jax.tree_util.keystr(p).replace("['kernel']", "['bias']")
-        if b is not None and bias_key in path_map:
-            j = path_map[bias_key]
-            assert flat[j][1].shape == b.shape
-            leaves[j] = jnp.asarray(b)
+            wj = np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+        if wj.shape != v.shape:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: torch {w.shape} "
+                f"-> {wj.shape} vs flax {v.shape}")
+        leaf["kernel"] = jnp.asarray(np.ascontiguousarray(wj))
+        if b is not None and "bias" in leaf:
+            assert leaf["bias"].shape == b.shape, \
+                f"bias shape at {'/'.join(path)}: {b.shape} vs {leaf['bias'].shape}"
+            leaf["bias"] = jnp.asarray(b)
     if conv_idx != len(convs):
         raise ValueError(
             f"torch checkpoint has {len(convs)} convs, flax consumed {conv_idx}")
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    return params

@@ -8,11 +8,10 @@ output added to the (first C channels of the) input.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .blocks import Conv
+from .blocks import Conv, upsample_align_corners
 
 
 class ConvBlock(nn.Module):
@@ -31,8 +30,9 @@ def _maxpool2(x):
 
 
 def _upsample2(x):
-    N, H, W, C = x.shape
-    return jax.image.resize(x, (N, H * 2, W * 2, C), method="bilinear")
+    # torch nn.Upsample(bilinear, align_corners=True) — reference
+    # unet/unet.py:96; jax.image.resize (half-pixel) does not match it
+    return upsample_align_corners(x, axes=(1, 2), factor=2)
 
 
 class UNet(nn.Module):

@@ -12,16 +12,20 @@ import jax
 import jax.numpy as jnp
 
 from ...models.qrnn import GRUnet, QRNNREDC3D
-from ...models.convert import load_torch_state_dict, torch_to_flax
+from ...models.convert import (GRUNET_FORWARD_ORDER, load_torch_state_dict,
+                               qrnn_torch_to_flax)
 from .denoisers import Denoiser, TVDenoiser
 
 
 class GRUNetDenoiser(Denoiser):
     def __init__(self, params=None, ckpt_path: Optional[str] = None):
-        self.module = GRUnet(in_ch=2, out_ch=1, use_noise_map=True)
+        # unet_qrnn3d.pth is the nobn variant (reference wrapper.py:175
+        # grunet_masked_nobn)
+        self.module = GRUnet(in_ch=2, out_ch=1, use_noise_map=True, bn=False)
         init = self.module.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 2)))
         if params is None and ckpt_path is not None:
-            params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
+            params = qrnn_torch_to_flax(load_torch_state_dict(ckpt_path),
+                                        init, prefix_order=GRUNET_FORWARD_ORDER)
         super().__init__(params if params is not None else None)
         if self.params is None:
             self.params = init
@@ -42,11 +46,11 @@ class QRNN3DDenoiser(Denoiser):
                  use_noise_map: bool = True):
         self.use_noise_map = use_noise_map
         in_ch = 2 if use_noise_map else 1
-        self.module = QRNNREDC3D(in_channels=in_ch)
+        self.module = QRNNREDC3D(in_channels=in_ch)  # bn=True per ckpt
         init = self.module.init(jax.random.key(0),
                                 jnp.zeros((1, 4, 16, 16, in_ch)))
         if params is None and ckpt_path is not None:
-            params = torch_to_flax(load_torch_state_dict(ckpt_path), init)
+            params = qrnn_torch_to_flax(load_torch_state_dict(ckpt_path), init)
         super().__init__(params if params is not None else None)
         if self.params is None:
             self.params = init

@@ -223,6 +223,64 @@ class TestUNets:
         _assert_close(m.apply(p, jnp.asarray(x)), _to_nhwc(yt),
                       name="drunet_color arch")
 
+    def test_grunet_masked_nobn(self):
+        """The unet_qrnn3d.pth architecture (GRUnet nobn, reference
+        models/qrnn/__init__.py:32): deconv blocks, align_corners
+        trilinear upsamples, registration-order != call-order."""
+        from dprox.proxfn.pnp.denoisers.models.qrnn import grunet_masked_nobn
+
+        from dprox_tpu.models.convert import (GRUNET_FORWARD_ORDER,
+                                              qrnn_torch_to_flax)
+        from dprox_tpu.models.qrnn import GRUnet
+
+        torch.manual_seed(11)
+        tnet = grunet_masked_nobn().eval()
+        m = GRUnet(in_ch=2, out_ch=1, use_noise_map=True, bn=False)
+        x = _rand((1, 6, 32, 32, 2))  # NDHWC (bands=6)
+        p = m.init(jax.random.key(0), jnp.asarray(x))
+        p = qrnn_torch_to_flax(_sd(tnet), p,
+                               prefix_order=GRUNET_FORWARD_ORDER)
+        with torch.no_grad():
+            # torch layout NCDHW
+            xt = torch.from_numpy(
+                np.ascontiguousarray(x.transpose(0, 4, 1, 2, 3)))
+            yt = tnet(xt).numpy().transpose(0, 2, 3, 4, 1)
+        _assert_close(m.apply(p, jnp.asarray(x)), yt, name="grunet nobn")
+
+    def test_qrnn3d_masked_bn(self):
+        """The qrnn3d.pth architecture (QRNNREDC3D bn=True, reference
+        models/qrnn/__init__.py:21): pre-conv SynchronizedBatchNorm3d
+        with non-trivial running stats, alternating-direction scans.
+
+        NOTE: the reference's own qrnn3d()/qrnn3d_masked() factories are
+        broken in the vendored copy (models/qrnn/__init__.py:1 imports
+        the raw class from .qrnn3d instead of the wired partial at
+        layer.py:154-160, so construction raises TypeError); the wired
+        partial is used directly here with the factory's arguments."""
+        from dprox.proxfn.pnp.denoisers.models.qrnn.layer import \
+            QRNNREDC3D as TorchQRNNREDC3D
+
+        from dprox_tpu.models.convert import qrnn_torch_to_flax
+        from dprox_tpu.models.qrnn import QRNNREDC3D
+
+        torch.manual_seed(12)
+        tnet = TorchQRNNREDC3D(2, 16, 5, [1, 3], has_ad=True)
+        # populate BN running stats like a trained checkpoint
+        tnet.train()
+        with torch.no_grad():
+            for _ in range(2):
+                tnet(torch.randn(2, 2, 8, 16, 16) * 1.5 + 0.3)
+        tnet.eval()
+        m = QRNNREDC3D(in_channels=2)
+        x = _rand((1, 8, 16, 16, 2))
+        p = m.init(jax.random.key(0), jnp.asarray(x))
+        p = qrnn_torch_to_flax(_sd(tnet), p)
+        with torch.no_grad():
+            xt = torch.from_numpy(
+                np.ascontiguousarray(x.transpose(0, 4, 1, 2, 3)))
+            yt = tnet(xt).numpy().transpose(0, 2, 3, 4, 1)
+        _assert_close(m.apply(p, jnp.asarray(x)), yt, name="qrnn3d bn")
+
     def test_small_unet(self):
         """The CSMRI 'unet-nm' prior: maxpool downs, align_corners
         bilinear ups, concat skips, residual head."""

@@ -22,13 +22,23 @@ class unrolled_prior(ProxFn):
     stateful = True
 
     def __init__(self, linop, denoiser: Optional[DGUDenoiser] = None,
-                 max_step: Optional[int] = None, param_key: Optional[str] = None):
+                 max_step: Optional[int] = None, param_key: Optional[str] = None,
+                 ckpt_path: Optional[str] = None):
         super().__init__(linop)
         self.module = denoiser if denoiser is not None else DGUDenoiser()
         self.param_key = param_key
         self.max_step = max_step
         self._params = None
         self._carry = None
+        if ckpt_path is not None:
+            # reference DGUNet torch checkpoint (name-based conversion,
+            # numerically pinned by tests/test_convert_parity.py)
+            from ..models.convert import load_torch_state_dict
+            from ..models.dgu import convert_dgu
+
+            init = self.module.init(jax.random.key(0),
+                                    jnp.zeros((1, 32, 32, 3)))
+            self._params = convert_dgu(load_torch_state_dict(ckpt_path), init)
 
     @property
     def params(self):

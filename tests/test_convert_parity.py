@@ -281,6 +281,42 @@ class TestUNets:
             yt = tnet(xt).numpy().transpose(0, 2, 3, 4, 1)
         _assert_close(m.apply(p, jnp.asarray(x)), yt, name="qrnn3d bn")
 
+    def test_dgu_three_stages(self):
+        """DGUNet proximal network (reference proxfn/unrolling/dgu.py
+        Denoiser): first (depth=0), middle (depth=1..D), last (D+1)
+        stage outputs must all match with converted weights — including
+        PReLU slopes, InstanceNorm affines, ConvTranspose ups, and the
+        subspace-projection merge."""
+        from dprox.proxfn.unrolling.dgu import Denoiser as TorchDGU
+
+        from dprox_tpu.models.dgu import DGUDenoiser, convert_dgu
+
+        torch.manual_seed(13)
+        tnet = TorchDGU().eval()
+        # non-default PReLU slopes + IN affines, as a trained ckpt has
+        with torch.no_grad():
+            for name, prm in tnet.named_parameters():
+                if prm.ndim == 1:
+                    prm.add_(torch.randn_like(prm) * 0.05)
+        m = DGUDenoiser()
+        v = _rand((1, 32, 32, 3))
+        p = m.init(jax.random.key(0), jnp.asarray(v))
+        p = convert_dgu(_sd(tnet), p)
+        vt = _nchw(v)
+        with torch.no_grad():
+            y0t = tnet(vt, 0)
+            y1t = tnet(y0t, 1)
+            y2t = tnet(y1t, 2)
+            yft = tnet(y2t, tnet.depth + 1)
+        x0, carry = m.apply(p, jnp.asarray(v), method="first")
+        _assert_close(x0, _to_nhwc(y0t), name="dgu first")
+        x1, carry = m.apply(p, x0, carry, method="middle")
+        _assert_close(x1, _to_nhwc(y1t), name="dgu middle1")
+        x2, carry = m.apply(p, x1, carry, method="middle")
+        _assert_close(x2, _to_nhwc(y2t), name="dgu middle2")
+        xf = m.apply(p, x2, carry, method="last")
+        _assert_close(xf, _to_nhwc(yft), name="dgu last")
+
     def test_small_unet(self):
         """The CSMRI 'unet-nm' prior: maxpool downs, align_corners
         bilinear ups, concat skips, residual head."""

@@ -122,6 +122,90 @@ class TestSolveParity:
             method, np.abs(out_j - out_r).max())
 
 
+class TestPnPSolveParity:
+    """End-to-end PnP-ADMM with a DEEP prior: the reference's deep_prior
+    (prior.py:43-91) vs dprox_tpu's, both running the SAME FFDNet weights
+    (seeded torch net -> saved .pth -> each side's own load path). This
+    is the flagship-config proof (BASELINE configs[1]): 5 full ADMM
+    iterations with the denoiser in the loop must agree to f32 level."""
+
+    def _make_ckpt(self, tmp_path):
+        from dprox.proxfn.pnp.denoisers.models.network_ffdnet import \
+            FFDNet as TorchFFDNet
+
+        torch.manual_seed(21)
+        tnet = TorchFFDNet(in_nc=1, out_nc=1, nc=64, nb=15, act_mode="R")
+        with torch.no_grad():
+            # tame random-init activations so 5 PnP iterations stay
+            # bounded (both sides see identical weights either way)
+            for prm in tnet.parameters():
+                prm.mul_(0.25)
+        path = str(tmp_path / "ffdnet_rand.pth")
+        torch.save(tnet.state_dict(), path)
+        return path
+
+    def test_deep_prior_admm_solve(self, tmp_path):
+        from dprox.proxfn.pnp.denoisers.wrapper import \
+            FFDNetDenoiser as RefFFDNetDenoiser
+
+        from dprox_tpu.proxfn.pnp.denoisers import FFDNetDenoiser
+
+        ckpt = self._make_ckpt(tmp_path)
+        img = RNG.rand(1, 1, 32, 32).astype(np.float32)
+        blurred = ref.conv(ref.Variable(), PSF).forward(t(img)).numpy()
+
+        xr = ref.Variable()
+        prior_r = ref.deep_prior(xr, RefFFDNetDenoiser(ckpt))
+        data_r = ref.sum_squares(ref.conv(xr, PSF) - t(blurred))
+        s_ref = ref.compile(data_r + prior_r, method="admm", device="cpu")
+        with torch.no_grad():
+            out_r = s_ref.solve(x0=t(blurred), rhos=0.1, lams=0.05,
+                                max_iter=5).numpy()
+
+        xj = dtp.Variable()
+        prior_j = dtp.deep_prior(xj, FFDNetDenoiser(ckpt_path=ckpt))
+        data_j = dtp.sum_squares(dtp.conv(xj, PSF) - dtp.utils.array(blurred))
+        s_jax = dtp.compile(data_j + prior_j, method="admm")
+        out_j = np.asarray(s_jax.solve(x0=blurred, rhos=0.1, lams=0.05,
+                                       max_iter=5))
+        err = np.abs(out_j - out_r).max()
+        assert err < 5e-4, err
+
+    def test_deep_prior_multichannel_sqrt(self, tmp_path):
+        """Color input through the band-looped Denoiser2D + sqrt(lam)
+        schedule (prior.py:79-86). x8 is deliberately NOT parity-tested:
+        the reference Augment cycles ONE dihedral transform per call with
+        mutable counter state (composite.py:12-28), while dprox_tpu's
+        Augment is the pure averaged 8-transform ensemble — a documented
+        TPU-first redesign (denoisers.py Augment docstring), so the two
+        compute different (both valid) functions per iteration."""
+        from dprox.proxfn.pnp.denoisers.wrapper import \
+            FFDNetDenoiser as RefFFDNetDenoiser
+
+        from dprox_tpu.proxfn.pnp.denoisers import FFDNetDenoiser
+
+        ckpt = self._make_ckpt(tmp_path)
+        blurred = ref.conv(ref.Variable(), PSF).forward(t(IMG)).numpy()
+
+        xr = ref.Variable()
+        prior_r = ref.deep_prior(xr, RefFFDNetDenoiser(ckpt), sqrt=True)
+        data_r = ref.sum_squares(ref.conv(xr, PSF) - t(blurred))
+        s_ref = ref.compile(data_r + prior_r, method="admm", device="cpu")
+        with torch.no_grad():
+            out_r = s_ref.solve(x0=t(blurred), rhos=0.1, lams=0.02,
+                                max_iter=3).numpy()
+
+        xj = dtp.Variable()
+        prior_j = dtp.deep_prior(xj, FFDNetDenoiser(ckpt_path=ckpt),
+                                 sqrt=True)
+        data_j = dtp.sum_squares(dtp.conv(xj, PSF) - dtp.utils.array(blurred))
+        s_jax = dtp.compile(data_j + prior_j, method="admm")
+        out_j = np.asarray(s_jax.solve(x0=blurred, rhos=0.1, lams=0.02,
+                                       max_iter=3))
+        err = np.abs(out_j - out_r).max()
+        assert err < 5e-4, err
+
+
 class TestCsmriParity:
     def test_csmri_fused_prox(self):
         rng = np.random.RandomState(3)

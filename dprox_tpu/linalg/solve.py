@@ -40,18 +40,32 @@ class LinearSolveConfig:
     symmetric: bool = True  # KtK systems are SPD; skips building a transpose
 
 
-def _run_solver(spec, A: Callable, b: Array, x0=None) -> Array:
+def _run_solver(spec, A: Callable, b: Array, x0=None, Minv=None) -> Array:
     solver_type, rtol, max_iters, kwargs = spec[:4]
     fn = SOLVERS[solver_type]
     kwargs = dict(kwargs)
     if x0 is not None:
         kwargs["x0"] = x0
+    if Minv is not None:
+        kwargs["Minv"] = Minv
     return fn(A, b, rtol=rtol, max_iters=max_iters, **kwargs)
+
+
+def _make_minv(spec, theta):
+    """Bind the static preconditioner builder (spec[5], a pure function
+    of (theta, r)) to the CURRENT theta. Traced preconditioner data must
+    ride in theta — a closure over forward-trace tracers inside the
+    static spec would leak into the custom_vjp backward pass."""
+    Minv_fn = spec[5] if len(spec) > 5 else None
+    if Minv_fn is None:
+        return None
+    return lambda r: Minv_fn(theta, r)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _implicit_solve(spec, A_fn: Callable, theta, b: Array, x0) -> Array:
-    return _run_solver(spec, lambda v: A_fn(theta, v), b, x0)
+    return _run_solver(spec, lambda v: A_fn(theta, v), b, x0,
+                       _make_minv(spec, theta))
 
 
 def _implicit_solve_fwd(spec, A_fn, theta, b, x0):
@@ -67,11 +81,16 @@ def _implicit_solve_bwd(spec, A_fn, res, g):
     else:
         transpose = jax.linear_transpose(lambda v: A_fn(theta, v), g)
         AT = lambda v: transpose(v)[0]
-    gb = _run_solver(spec[:4], AT, g)
-    # dtheta: VJP of theta -> -A(theta, x*) applied to gb
+    # same SPD preconditioner accelerates the transpose solve
+    gb = _run_solver(spec[:4], AT, g, Minv=_make_minv(spec, theta))
+    # dtheta: VJP of theta -> -A(theta, x*) applied to gb. Integer leaves
+    # in theta (e.g. the solver step counter riding in params) get float0
+    # cotangents, which support no arithmetic — pass them through as-is.
     _, vjp = jax.vjp(lambda t: A_fn(t, x), theta)
     (gtheta,) = vjp(gb)
-    gtheta = jax.tree.map(lambda t: -t, gtheta)
+    gtheta = jax.tree.map(
+        lambda t: t if getattr(t, "dtype", None) == jax.dtypes.float0 else -t,
+        gtheta)
     # the converged solution does not depend on the warm start: zero grad
     gx0 = jax.tree.map(jnp.zeros_like, x0)
     return gtheta, gb, gx0
@@ -82,7 +101,8 @@ _implicit_solve.defvjp(_implicit_solve_fwd, _implicit_solve_bwd)
 
 def linear_solve(A_fn: Callable, b: Array, theta=None,
                  config: Optional[LinearSolveConfig] = None,
-                 x0: Optional[Array] = None) -> Array:
+                 x0: Optional[Array] = None,
+                 Minv_fn: Optional[Callable] = None) -> Array:
     """Solve A(theta) x = b, differentiable w.r.t. ``theta`` and ``b``.
 
     ``A_fn(theta, v)`` is the matrix-free matvec; ``theta`` is any pytree
@@ -98,7 +118,8 @@ def linear_solve(A_fn: Callable, b: Array, theta=None,
         theta = ()
     if config.use_analytic_grad:
         spec = (config.solver_type, config.rtol, config.max_iters,
-                tuple(sorted(config.solver_kwargs.items())), config.symmetric)
+                tuple(sorted(config.solver_kwargs.items())), config.symmetric,
+                Minv_fn)
         return _implicit_solve(spec, A_fn, theta, b, x0)
     return cg_unrolled(lambda v: A_fn(theta, v), b, x0=x0, rtol=config.rtol,
                        max_iters=config.max_iters)

@@ -121,12 +121,42 @@ class LinOp:
 
     def offset(self, var_shapes: Dict[str, tuple], params: Optional[Params] = None,
                dtype=jnp.float32) -> Array:
-        """Constant offset: evaluate with all variables zeroed.
+        """Constant offset: the tree's value with all variables zeroed.
 
-        (reference: base.py:119-129 — there done by mutating Variable.value;
-        here a pure evaluation.)
+        (reference: base.py:119-129 — there done by mutating
+        Variable.value and running the graph.) Evaluated STRUCTURALLY:
+        purely-linear subtrees are zero by linearity and are skipped
+        instead of materializing zeros and pushing them through the op
+        (for ``conv(x) - b`` the naive evaluation runs a conv-of-zeros —
+        two wasted FFTs that, under a spatial mesh, are also the only
+        device-local FFTs left in the program and trip the XLA CPU fft
+        thunk's layout RET_CHECK). Identical values either way.
         """
-        zeros = {name: jnp.zeros(shape, dtype) for name, shape in var_shapes.items()}
+        res = self._offset_rec(var_shapes, params, dtype)
+        if res is None:
+            # no constants anywhere: the offset is exactly zero — keep
+            # the legacy dense-zeros return for callers that consume it
+            zeros = {name: jnp.zeros(shape, dtype)
+                     for name, shape in var_shapes.items()}
+            return self.forward(zeros, params)
+        return res
+
+    def _offset_rec(self, var_shapes, params, dtype):
+        if not self.constants:
+            return None  # linear in the variables: contributes zero
+        if self.is_constant():
+            return self.forward({}, params)
+        if isinstance(self, sum):
+            out = None
+            for c in self.children:
+                r = c._offset_rec(var_shapes, params, dtype)
+                if r is not None:
+                    out = r if out is None else out + r
+            return out
+        # mixed non-sum branch (constant under a non-trivial op): fall
+        # back to zeros-evaluation of this subtree
+        zeros = {name: jnp.zeros(shape, dtype)
+                 for name, shape in var_shapes.items()}
         return self.forward(zeros, params)
 
     # ------------------------------------------------------------------ #
@@ -146,6 +176,39 @@ class LinOp:
     def gram_diag(self, shape, params: Optional[Params] = None, freq: bool = False) -> Array:
         d = self.diag(shape, params, freq)
         return jnp.abs(jnp.conj(d) * d)
+
+    # ------------------------------------------------------------------ #
+    # Frequency-circulant gram surrogate (preconditioning)
+    # ------------------------------------------------------------------ #
+
+    def _own_gram_surrogate(self, shape, params: Optional[Params] = None):
+        """Node-local circulant approximation of THIS op's gram factor
+        in the frequency domain (children excluded): exact for
+        freq-diagonal ops, spatial average (per channel — stays
+        channelwise-circulant) for spatially-diagonal ops, None when no
+        sensible surrogate exists. Overridden per op; unknown ops
+        default to None (disables preconditioning for the tree)."""
+        return None
+
+    def gram_freq_surrogate(self, shape, params: Optional[Params] = None):
+        """Approximate frequency-domain diagonal of this subtree's gram
+        K^T K — a circulant surrogate used as a Jacobi-in-frequency
+        preconditioner for the CG x-update (no reference counterpart;
+        the reference's imaging CG is unpreconditioned,
+        linalg/solver_cg.py). Composition chains multiply their factors'
+        surrogates (exact when every factor is circulant; an averaged
+        approximation otherwise — fine for an SPD preconditioner).
+        Returns None when any factor has no surrogate."""
+        own = self._own_gram_surrogate(shape, params)
+        if own is None:
+            return None
+        out = own
+        for c in self.children:
+            cs = c.gram_freq_surrogate(shape, params)
+            if cs is None:
+                return None
+            out = out * cs
+        return out
 
     # ------------------------------------------------------------------ #
     # Norm bound (power-iteration seed)
@@ -203,6 +266,9 @@ class LinOp:
 
 class Variable(LinOp):
     """Leaf variable; identity forward/adjoint (reference: variable.py)."""
+
+    def _own_gram_surrogate(self, shape, params=None):
+        return 1.0
 
     def __init__(self, shape=None, name: Optional[str] = None):
         super().__init__([])
@@ -338,6 +404,9 @@ class scale(LinOp):
     def gram_diag(self, shape, params=None, freq: bool = False):
         return self.children[0].gram_diag(shape, params, freq) * (self.scalar**2)
 
+    def _own_gram_surrogate(self, shape, params=None):
+        return self.scalar ** 2
+
     def norm_bound(self, input_mags):
         return abs(self.scalar) * input_mags[0]
 
@@ -369,6 +438,15 @@ class sum(LinOp):
             d = c.diag(shape, params, freq)
             out = d if out is None else out + d
         return out
+
+    def gram_freq_surrogate(self, shape, params=None):
+        # constants (offsets like ``conv(x) - b``) do not contribute to
+        # the variable gram; cross terms of >1 variable branch have no
+        # circulant surrogate
+        live = [c for c in self.children if not c.is_constant()]
+        if len(live) != 1:
+            return None
+        return live[0].gram_freq_surrogate(shape, params)
 
     def norm_bound(self, input_mags):
         return float(np.sum(input_mags))
@@ -404,6 +482,16 @@ class vstack(LinOp):
         for c in self.children:
             d = c.gram_diag(shape, params, freq)
             out = d if out is None else out + d
+        return out
+
+    def gram_freq_surrogate(self, shape, params=None):
+        # gram of a stack is the sum of the per-branch grams
+        out = None
+        for c in self.children:
+            s = c.gram_freq_surrogate(shape, params)
+            if s is None:
+                return None
+            out = s if out is None else out + s
         return out
 
     def norm_bound(self, input_mags):

@@ -85,6 +85,9 @@ class conv(LinOp):
         FB = self._otf(shape)
         return jnp.abs(jnp.conj(FB) * FB)
 
+    def _own_gram_surrogate(self, shape, params=None):
+        return self.gram_diag(shape, params, freq=True)
+
     def norm_bound(self, input_mags):
         return float(np.max(np.abs(self.kernel))) * input_mags[0]
 
@@ -173,6 +176,11 @@ class conv_doe(LinOp):
         otf = psf2otf_traced(self.psf(params), shape[-2:])
         return jnp.abs(jnp.conj(otf) * otf)
 
+    def _own_gram_surrogate(self, shape, params=None):
+        # circular: exact; linearized: the circulant part (still a valid
+        # SPD preconditioner)
+        return self.gram_diag(shape, params, freq=True)
+
 
 class mosaic(LinOp):
     """Bayer RGGB masking; self-adjoint, spatially diagonal.
@@ -213,6 +221,12 @@ class mosaic(LinOp):
     def gram_diag(self, shape, params=None, freq: bool = False):
         assert not freq
         return self.mask(shape)  # mask is 0/1 so mask^2 == mask
+
+    def _own_gram_surrogate(self, shape, params=None):
+        # spatial average per channel: the circulant surrogate of the
+        # Bayer mask (R 1/4, G 1/2, B 1/4) — keeps channel structure
+        m = jnp.asarray(self.mask(shape))
+        return jnp.mean(m, axis=(-2, -1), keepdims=True)
 
     def norm_bound(self, input_mags):
         return input_mags[0]
@@ -286,6 +300,10 @@ class mul_elementwise(LinOp):
         assert not freq
         w = self.weight(params)
         return w * w
+
+    def _own_gram_surrogate(self, shape, params=None):
+        w = self.weight(params)
+        return jnp.mean(w * w, axis=(-2, -1), keepdims=True)
 
 
 class BlackBox(LinOp):

@@ -65,16 +65,38 @@ def consensus_admm(local_prox: Callable, z0: jnp.ndarray, local_args,
 
 
 def solve_batched_sharded(solver, x0, mesh: Mesh, params: Optional[dict] = None,
-                          axis: str = "batch", **solve_kwargs):
+                          axis: str = "batch", max_iter: int = 24,
+                          rhos=None, lams=None, **solve_kwargs):
     """Data-parallel solve: shard the image/problem batch over the mesh
-    and jit the whole solver with sharding constraints — XLA keeps every
-    FFT/prox/CG step device-local (zero collectives in the loop)."""
+    and run the WHOLE solver as one explicit-SPMD ``shard_map`` program —
+    zero collectives by construction (guarded structurally in
+    tests/test_comm_counts.py). Explicit shard_map rather than GSPMD
+    propagation because partitioners without a sharded-fft rule (XLA CPU)
+    would otherwise all-gather at every FFT in the loop; a local program
+    can't."""
+    from ..algo.base import encode_complex
     from .mesh import batch_sharding
 
+    x0 = solver._prepare_x0(x0)
+    rhos, lam_list = solver.defaults(rhos, lams, max_iter)
+    params = dict(params) if params else {}
+    B = x0.shape[0]
+    n_dev = mesh.shape[axis]
+    assert B % n_dev == 0, f"batch {B} must divide the {n_dev}-device axis"
+
+    x0e = encode_complex(x0)
+    pe = encode_complex(params)
+    pspec = jax.tree.map(
+        lambda v: P(axis) if getattr(v, "ndim", 0) >= 1
+        and v.shape[0] == B else P(), pe)
+    run = solver._get_jitted(False, solve_kwargs.pop("real_output", False))
+
+    fn = shard_map(lambda b_l, r, ll, p_l: run(b_l, r, ll, p_l),
+                   mesh=mesh,
+                   in_specs=(P(axis), P(), P(), pspec),
+                   out_specs=P(axis))
     sharding = batch_sharding(mesh, axis)
-    x0 = jax.device_put(x0, sharding)
-    params = {k: jax.device_put(v, sharding)
-              if hasattr(v, "shape") and v.shape[:1] == x0.shape[:1] else v
-              for k, v in (params or {}).items()}
+    x0e = jax.device_put(x0e, sharding)
     with mesh:
-        return solver.solve(x0=x0, params=params, **solve_kwargs)
+        state = jax.jit(fn)(x0e, rhos, lam_list, pe)
+    return state[0]

@@ -314,6 +314,40 @@ class Augment(Denoiser):
         return sum(outs) / 8.0
 
 
+class EnsembleDenoiser(Denoiser):
+    """Weighted average of several denoisers' outputs.
+
+    Different architectures (FFDNet vs DRUNet) keep decorrelated
+    residual errors, so averaging them denoises better than either
+    alone at the same per-net quality — a beyond-reference addition
+    (the reference has no multi-denoiser composite; its Augment is a
+    transform ensemble of ONE net, composite.py:5-47). Composes with
+    DeepTVDenoiser and Augment.
+    """
+
+    def __init__(self, denoisers, weights=None):
+        assert len(denoisers) >= 2
+        self.denoisers = list(denoisers)
+        if weights is None:
+            weights = [1.0 / len(denoisers)] * len(denoisers)
+        assert len(weights) == len(denoisers)
+        self.weights = [float(w) for w in weights]
+        self.params = [d.params for d in self.denoisers]
+        self.pretrained = all(getattr(d, "pretrained", False)
+                              for d in self.denoisers)
+        radii = [getattr(d, "receptive_radius", None) for d in self.denoisers]
+        if all(r is not None for r in radii):
+            self.receptive_radius = max(radii)
+
+    def denoise(self, x, sigma, params=None):
+        # params: optional list aligned with self.denoisers
+        out = 0.0
+        for i, (w, d) in enumerate(zip(self.weights, self.denoisers)):
+            p = params[i] if params is not None else None
+            out = out + w * d.denoise(x, sigma, p)
+        return out
+
+
 class DeepTVDenoiser(Denoiser):
     """Weighted fusion of a deep denoiser and TV outputs.
 

@@ -106,6 +106,18 @@ def get_denoiser(kind: str) -> Denoiser:
         from .denoisers import DeepTVDenoiser
 
         return DeepTVDenoiser(get_denoiser("mid_drunet_color"), weight=0.5)
+    if kind == "ensemble_tv":
+        # strongest shipped prior: FFDNet+DRUNet ensemble (decorrelated
+        # residual errors) fused with TV. Measured held-out hopper deconv
+        # 35.37 dB with x8=True (vs 35.28 ffdnet_tv, 35.23 drunet_tv;
+        # scripts/eval_ensemble_prior.py) — pair with deep_prior(x8=True)
+        # and sqrt=False schedules, e.g. log_descent(80, 30, 24)
+        from .denoisers import DeepTVDenoiser, EnsembleDenoiser
+
+        ens = EnsembleDenoiser([get_denoiser("res_ffdnet_color"),
+                                get_denoiser("tiny_drunet_color")],
+                               weights=[0.6, 0.4])
+        return DeepTVDenoiser(ens, weight=0.5)
     if kind == "drunet_color":
         return DRUNetDenoiser(3, ckpt_path=find_weights("drunet_color.pth"))
     if kind == "drunet":
@@ -139,7 +151,8 @@ class deep_prior(ProxFn):
                  unroll_step: Optional[int] = None, sqrt: bool = False,
                  param_key: Optional[str] = None, spatial_mesh=None,
                  spatial_axis: str = "space",
-                 spatial_halo: Optional[int] = None):
+                 spatial_halo: Optional[int] = None,
+                 spatial_gather: bool = True):
         """``spatial_mesh``: run denoiser inference spatially sharded over
         this mesh axis with halo exchange (parallel.sharded_denoise) —
         exact vs unsharded when the halo covers the receptive field.
@@ -153,6 +166,10 @@ class deep_prior(ProxFn):
             self.denoiser = Augment(self.denoiser)
         self.spatial_mesh = spatial_mesh
         self.spatial_axis = spatial_axis
+        # gather=False keeps the prox output row-sharded — pair it with a
+        # least_squares(spatial_mesh=...) distributed-FFT x-update so the
+        # WHOLE solve loop stays sharded (no per-prox all-gather)
+        self.spatial_gather = spatial_gather
         if spatial_mesh is not None and spatial_halo is None:
             r = getattr(self.denoiser, "receptive_radius", None)
             if r is None:
@@ -210,12 +227,21 @@ class deep_prior(ProxFn):
                                                   params=dp),
                 inp, self.spatial_mesh, axis=self.spatial_axis,
                 halo=self.spatial_halo)
-            # the downstream FFT x-update mixes rows globally, so gather
-            # the shards right away (XLA would insert the collective at
-            # the FFT anyway; the explicit constraint also sidesteps an
-            # XLA-CPU fft layout RET_CHECK in host emulation)
-            out = jax.lax.with_sharding_constraint(
-                out, NamedSharding(self.spatial_mesh, P()))
+            if self.spatial_gather:
+                # a device-local FFT x-update mixes rows globally, so
+                # gather the shards right away (XLA would insert the
+                # collective at the FFT anyway; the explicit constraint
+                # also sidesteps an XLA-CPU fft layout RET_CHECK in host
+                # emulation)
+                out = jax.lax.with_sharding_constraint(
+                    out, NamedSharding(self.spatial_mesh, P()))
+            else:
+                # distributed-FFT x-update (parallel/fft.py): keep rows
+                # sharded end-to-end
+                out = jax.lax.with_sharding_constraint(
+                    out, NamedSharding(self.spatial_mesh,
+                                       P(None, None, self.spatial_axis,
+                                         None)))
         else:
             out = self.denoiser.denoise(inp, sigma.reshape(-1), params=dp)
         out = out.astype(v.dtype) if not jnp.iscomplexobj(v) else out

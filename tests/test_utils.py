@@ -48,7 +48,43 @@ def test_hub_offline_behavior(tmp_path, monkeypatch):
         hub.load_path("missing.pth")
         assert False
     except FileNotFoundError as e:
-        assert "no network access" in str(e)
+        assert "DPROX_ALLOW_DOWNLOAD" in str(e)
+
+
+def test_hub_download_path(tmp_path, monkeypatch):
+    """With downloads enabled, a cache miss resolves via the HF URL
+    layout (reference huggingface.py:50-66) — urlretrieve mocked since
+    this environment has no egress."""
+    from dprox_tpu.utils import hub
+
+    monkeypatch.setattr(hub, "CACHE_DIRS", [str(tmp_path / "cache")])
+    fetched = {}
+
+    def fake_urlretrieve(url, filename=None):
+        fetched["url"] = url
+        with open(filename, "wb") as f:
+            f.write(b"weights")
+
+    monkeypatch.setattr(hub.urllib.request, "urlretrieve", fake_urlretrieve)
+    monkeypatch.setattr(hub.os.path, "expanduser",
+                        lambda p: p.replace("~", str(tmp_path)))
+
+    # downloads default OFF: miss raises even though the URL would work
+    monkeypatch.setattr(hub, "_DOWNLOAD_ENABLED", False)
+    assert hub.load_path("repo/w.pth", raise_on_miss=False) is None
+
+    hub.set_download_enabled(True)
+    try:
+        p = hub.load_path("repo/w.pth")
+        assert open(p, "rb").read() == b"weights"
+        assert fetched["url"] == (
+            "https://huggingface.co/delta-prox/repo/resolve/main/w.pth")
+        # datasets carry the /datasets prefix
+        hub.load_path("dset/d.mat", repo_type="datasets")
+        assert fetched["url"] == (
+            "https://huggingface.co/datasets/delta-prox/dset/resolve/main/d.mat")
+    finally:
+        hub.set_download_enabled(False)
 
 
 def test_demosaic_bilinear_recovers_smooth():

@@ -62,9 +62,12 @@ def shepp_logan(size: int = 128) -> np.ndarray:
 
 
 def generate_sample(size: int = 128, num_lines: int = 40, sigma: float = 0.0,
-                    seed: int = 0):
+                    seed: int = 0, gt=None):
     """Synthesize one CSMRI problem dict matching the reference's field
     layout (csmri.py:96-109): y0, x0, ATy0, gt, mask, params.
+
+    ``gt``: optional [H,W] image in [0,1] to use instead of the
+    Shepp-Logan phantom (task-scale training draws natural crops).
 
     Built host-side in numpy: complex device->host transfers are
     unimplemented on the axon TPU backend, and this is data prep anyway.
@@ -80,7 +83,8 @@ def generate_sample(size: int = 128, num_lines: int = 40, sigma: float = 0.0,
         x = np.fft.ifft2(x, norm="ortho")
         return np.fft.fftshift(x, axes=(-2, -1))
 
-    gt = shepp_logan(size)[None]  # [1,H,W]
+    gt = (shepp_logan(size) if gt is None
+          else np.asarray(gt, np.float32))[None]  # [1,H,W]
     mask = radial_mask((size, size), num_lines, seed)[None]
     y0 = np_fft2c(gt.astype(np.complex64))
     if sigma > 0:

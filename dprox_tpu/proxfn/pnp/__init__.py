@@ -11,5 +11,7 @@ from .denoisers import (
     UNetDenoiser,
     TVDenoiser,
     Augment,
+    BF16Denoiser,
     DeepTVDenoiser,
+    EnsembleDenoiser,
 )

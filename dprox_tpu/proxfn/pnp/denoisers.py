@@ -314,6 +314,44 @@ class Augment(Denoiser):
         return sum(outs) / 8.0
 
 
+class BF16Denoiser(Denoiser):
+    """Run a wrapped denoiser's network in bfloat16 (params and
+    activations), casting input/output at the boundary.
+
+    Measured on v5e at 512² for res_ffdnet_color (nc=96): 510 -> 618
+    denoiser calls/s (+21%) — that net is compute-bound at ~94% of the
+    f32 MXU peak (benchmarks/roofline_pnp.py), so dropping the f32
+    multi-pass penalty is pure gain; smaller lane-bound nets
+    (tiny_ffdnet nc=32) see no benefit, matching round-1's negative
+    result. Measured quality on the 512² hopper deconv benchmark with
+    the res_ffdnet_color_tv fusion prior: 34.98 dB both f32 and bf16
+    (identical to 0.01 dB) — the TV fusion and the ADMM data term keep
+    the solve in f32 and wash out the denoiser's bf16 rounding. Still
+    opt-in: quality cost is task-dependent at bf16's ~3 decimal digits,
+    measure before shipping a pipeline on it. No reference counterpart
+    (torch fp16 inference is not used by the reference wrappers,
+    wrapper.py).
+    """
+
+    def __init__(self, denoiser):
+        self.denoiser = denoiser
+        self.params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if getattr(a, "dtype", None) == jnp.float32 else a,
+            denoiser.params)
+        self.pretrained = getattr(denoiser, "pretrained", False)
+        r = getattr(denoiser, "receptive_radius", None)
+        if r is not None:
+            self.receptive_radius = r
+
+    def denoise(self, x, sigma, params=None):
+        p = params if params is not None else self.params
+        out = self.denoiser.denoise(x.astype(jnp.bfloat16),
+                                    jnp.asarray(sigma, jnp.bfloat16),
+                                    params=p)
+        return out.astype(jnp.float32)
+
+
 class EnsembleDenoiser(Denoiser):
     """Weighted average of several denoisers' outputs.
 

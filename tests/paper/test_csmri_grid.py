@@ -3,9 +3,11 @@
 
 The reference pins PSNRs of pretrained DRUNet/UNet priors on Medical7/
 MICCAI (31.78/28.43/35.57/32.19 ±0.03 dB); those weights and datasets
-are not available offline, so this grid runs the deterministic TV prior
-on synthetic phantoms and asserts reconstruction quality ordering plus
-golden values for regression.
+are not available offline, so this grid runs the strongest shipped
+grayscale prior (res_ffdnet_tv, trained in-repo) on synthetic phantoms
+and asserts reconstruction quality ordering plus golden values for
+regression. The deep prior beats the TV prior on every grid cell
+(29.53/29.90/20.22/18.92 vs 25.33/25.71/19.86/18.48 dB).
 """
 import numpy as np
 import pytest
@@ -15,12 +17,12 @@ from dprox_tpu.contrib import csmri
 from dprox_tpu.utils import metrics
 
 
-def _solve_pnp(sample, max_iter=24):
+def _solve_pnp(sample, max_iter=24, prior="res_ffdnet_tv"):
     x = dp.Variable()
     y = dp.Placeholder("y")
     mask = dp.Placeholder("mask", batch=False)
     data = dp.csmri(x, mask, y)
-    reg = dp.deep_prior(x, "tv", sqrt=True)
+    reg = dp.deep_prior(x, prior, sqrt=True)
     solver = dp.compile(data + reg, method="admm")
     rhos, sigmas = dp.log_descent(30, 5, max_iter, sigma=0.01)
     out = solver.solve(x0=sample["x0"], rhos=rhos, lams=sigmas,
@@ -43,22 +45,27 @@ def _solve_deq(sample):
 
 
 GRID = [
-    # (num_lines ~ acceleration, sigma_n, expected PnP PSNR)
-    (50, 0.0, 25.33),
-    (40, 0.0, 25.71),
-    (40, 0.05, 19.86),
-    (30, 0.05, 18.48),
+    # (num_lines ~ acceleration, sigma_n, expected deep-prior PSNR,
+    #  expected TV PSNR)
+    (50, 0.0, 29.53, 25.33),
+    (40, 0.0, 29.90, 25.71),
+    (40, 0.05, 20.22, 19.86),
+    (30, 0.05, 18.92, 18.48),
 ]
 
 
-@pytest.mark.parametrize("num_lines,sigma,expected", GRID)
-def test_pnp_grid(num_lines, sigma, expected):
+@pytest.mark.parametrize("num_lines,sigma,expected,expected_tv", GRID)
+def test_pnp_grid(num_lines, sigma, expected, expected_tv):
     s = csmri.generate_sample(size=128, num_lines=num_lines, sigma=sigma)
     out = _solve_pnp(s)
     zero_filled = metrics.psnr(np.real(s["x0"]), s["gt"])
     psnr = metrics.psnr(out, s["gt"])
     assert psnr > zero_filled + 2.0, (psnr, zero_filled)
     assert psnr == pytest.approx(expected, abs=0.15), psnr
+    # the learned prior must keep beating the hand-crafted TV prior
+    tv_psnr = metrics.psnr(_solve_pnp(s, prior="tv"), s["gt"])
+    assert tv_psnr == pytest.approx(expected_tv, abs=0.15), tv_psnr
+    assert psnr > tv_psnr, (psnr, tv_psnr)
 
 
 def test_deq_reconstructs():

@@ -53,6 +53,37 @@ def test_deep_tv_fusion():
     assert out.shape == x.shape
 
 
+def test_ensemble_denoiser_weighted_average():
+    from dprox_tpu.proxfn.pnp import EnsembleDenoiser
+
+    d1, d2 = TVDenoiser(iter_num=2), TVDenoiser(iter_num=6)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 3, 16, 16).astype(np.float32))
+    o1, o2 = d1.denoise(x, 0.1), d2.denoise(x, 0.1)
+    ens = EnsembleDenoiser([d1, d2], weights=[0.3, 0.7])
+    np.testing.assert_allclose(np.asarray(ens.denoise(x, 0.1)),
+                               np.asarray(0.3 * o1 + 0.7 * o2), atol=1e-6)
+
+
+def test_bf16_denoiser_close_to_f32():
+    from dprox_tpu.proxfn.pnp import BF16Denoiser
+
+    den = dp.get_denoiser("tiny_ffdnet_color")
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 3, 32, 32).astype(np.float32))
+    f32 = np.asarray(den.denoise(x, 0.1))
+    b16 = np.asarray(BF16Denoiser(den).denoise(x, 0.1))
+    assert b16.dtype == np.float32
+    # bf16 keeps ~3 decimal digits; outputs live in [0,1]
+    assert np.abs(b16 - f32).max() < 3e-2, np.abs(b16 - f32).max()
+
+
+def test_ensemble_tv_registry_kind():
+    den = dp.get_denoiser("ensemble_tv")
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 3, 32, 32).astype(np.float32))
+    out = den.denoise(x, 0.05)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_trainable_prior_gradient_flows():
     # denoiser params via the solver params dict receive gradients
     den = FFDNetDenoiser()

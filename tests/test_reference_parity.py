@@ -419,3 +419,59 @@ class TestOpsParityExtra:
 
         out_j = np.asarray(tv_denoising(jnp.asarray(y), 0.1, 20))
         assert np.allclose(out_j, out_r, atol=1e-5), np.abs(out_j - out_r).max()
+
+
+class TestDEQSolveParity:
+    """Deep-equilibrium solve vs the reference DEQSolver
+    (/root/reference/dprox/algo/specialization/deq/solver.py:57-109).
+
+    Both sides wrap one ADMM iteration of the same deconv+nonneg problem
+    as a fixed-point map and run Anderson acceleration on the packed
+    state. The primary assertion is PAIRWISE: the two implementations'
+    outputs agree to 5e-3 — i.e. dprox_tpu's anderson (m=6, lam=1e-4)
+    tracks the reference trajectory (solvers.py:193-243), not just the
+    limit. The reference stops at rel residual 1e-3 of the packed-state
+    norm, which for this slowly-contracting ADMM map leaves ~0.2 max
+    distance to the true fixed point (measured; a property of the
+    reference's stopping rule, not of either implementation) — so the
+    vs-truth check is at that documented looser level."""
+
+    def test_deq_admm_fixed_point_parity(self):
+        from dprox.algo.specialization.deq.solver import \
+            DEQSolver as RefDEQSolver
+
+        blurred = ref.conv(ref.Variable(), PSF).forward(t(IMG)).numpy()
+
+        # reference side
+        x = ref.Variable()
+        data = ref.sum_squares(ref.conv(x, PSF) - t(blurred))
+        reg = ref.nonneg(x)
+        inner_r = ref.compile(data + reg, method="admm", device="cpu")
+        s_ref = RefDEQSolver(inner_r).eval()
+        with torch.no_grad():
+            out_r = s_ref.solve(x0=t(blurred), rhos=0.3, lams=0.1).numpy()
+
+        # dprox_tpu side
+        from dprox_tpu.algo.special import DEQSolver
+
+        xj = dtp.Variable()
+        data_j = dtp.sum_squares(dtp.conv(xj, PSF) - dtp.utils.array(blurred))
+        reg_j = dtp.nonneg(xj)
+        inner_j = dtp.compile(data_j + reg_j, method="admm")
+        s_jax = DEQSolver(inner_j, f_thres=40, b_thres=40)
+        out_j = np.asarray(s_jax.solve(x0=blurred, rhos=0.3, lams=0.1))
+
+        # ground-truth fixed point: long plain ADMM at the same (rho, lam)
+        with torch.no_grad():
+            x_star = inner_r.solve(x0=t(blurred), rhos=0.3, lams=0.1,
+                                   max_iter=300).numpy()
+
+        assert np.abs(out_j - out_r).max() < 5e-3, np.abs(out_j - out_r).max()
+        # Anderson-stopping-level proximity to the true fixed point
+        # (both sides converge TOWARD x*, within the reference's rel-1e-3
+        # packed-state stopping slack), and both improve on x0.
+        assert np.abs(out_r - x_star).max() < 0.3, np.abs(out_r - x_star).max()
+        assert np.abs(out_j - x_star).max() < 0.3, np.abs(out_j - x_star).max()
+        err0 = np.mean((blurred - x_star) ** 2)
+        assert np.mean((out_r - x_star) ** 2) < 0.5 * err0
+        assert np.mean((out_j - x_star) ** 2) < 0.5 * err0

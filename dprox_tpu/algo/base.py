@@ -190,9 +190,20 @@ class Algorithm:
         (reference: base.py:85-126 — here the loop is a jitted lax.scan
         unless a Python ``callback`` is requested.)
         """
+        # remember the caller's rank: non-batched inputs (flat vectors,
+        # bare matrices — reference tests/problem/test_ml_problems.py:5-44)
+        # get a leading batch dim prepended internally and must come back
+        # in their original shape, like the reference's x.value does
+        orig_shape = tuple(x0.shape) if hasattr(x0, "shape") else None
         x0 = self._prepare_x0(x0)
         rhos, lam_list = self.defaults(rhos, lams, max_iter)
         params = dict(params) if params else {}
+
+        def _debatch(out):
+            if (orig_shape is not None
+                    and tuple(out.shape) == (1,) + orig_shape):
+                return out[0]
+            return out
 
         if callback is not None or not jit:
             x0 = decode_complex(encode_complex(x0))
@@ -208,12 +219,12 @@ class Algorithm:
                     callback(iter=it, state=state, rho=rho, lam=lam)
             if return_full_states:
                 return state
-            out = state[0]
+            out = _debatch(state[0])
             return jnp.real(out) if real_output else out
 
         run = self._get_jitted(return_full_states, real_output)
         state = run(encode_complex(x0), rhos, lam_list, encode_complex(params))
-        return state if return_full_states else state[0]
+        return state if return_full_states else _debatch(state[0])
 
     @staticmethod
     def _prepare_x0(x0):

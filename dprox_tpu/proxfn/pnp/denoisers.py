@@ -303,6 +303,12 @@ class Augment(Denoiser):
         self.pretrained = denoiser.pretrained
 
     def denoise(self, x, sigma, params=None):
+        # Deliberately 8 sequential calls, NOT one stacked batch-8 call:
+        # measured on v5e at 512² (benchmarks/augment_ab.py) the batched
+        # form is 2.5-3.4x SLOWER (tiny_ffdnet 79->31 x8-calls/s,
+        # res_ffdnet 64->19) — at B=8 the per-layer activation working
+        # set (8x512²xnc f32) spills VMEM and the conv chain goes
+        # HBM-bound, while the B=1 chains keep activations resident.
         outs = []
         for k in range(4):
             xr = jnp.rot90(x, k, axes=(-2, -1))

@@ -51,11 +51,18 @@ def _try_download(rel_path: str, repo_type: str) -> Optional[str]:
     save_path = os.path.join(os.path.expanduser("~/.cache/dprox"), rel_path)
     url = _hub_url(rel_path, repo_type)
     os.makedirs(os.path.dirname(save_path), exist_ok=True)
+    # fetch to a temp name and rename only on success: an interrupted
+    # transfer must not leave a partial file where _search would later
+    # pick it up as a valid cached asset
+    tmp_path = save_path + ".tmp"
     try:
-        urllib.request.urlretrieve(url, filename=save_path)
+        urllib.request.urlretrieve(url, filename=tmp_path)
+        os.replace(tmp_path, save_path)
     except Exception as e:  # no egress / 404: fall through to the miss path
         import warnings
 
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
         warnings.warn(f"download of {url} failed: {e}")
         return None
     return save_path

@@ -299,3 +299,39 @@ class TestConsensusADMM:
         fns = [dp.sum_squares(x - b), dp.norm1(dp.grad(x, 0))]
         with pytest.raises(ValueError):
             dp.compile(fns, method="cadmm")
+
+
+class TestMLProblemShapes:
+    """Exact tiny least-squares recovery on non-image shapes — mirrors
+    the reference's tests/problem/test_ml_problems.py:5-44 (2-D matrix,
+    flat vector, HWC single-channel with a box-blur conv): the solver
+    stack must not assume [B,C,H,W] inputs."""
+
+    def test_lsq_matrix_2d(self):
+        rhs = np.array([[1., 2, 3], [4, 5, 6], [7, 8, 9]], np.float32)
+        x = dp.Variable()
+        out = dp.Problem(dp.sum_squares(2 * x - rhs)).solve(
+            method="admm", x0=jnp.zeros((3, 3)), max_iter=50,
+            rhos=1.0, lams=0.1)
+        np.testing.assert_allclose(np.asarray(out), rhs / 2, atol=1e-5)
+
+    def test_lsq_vector_1d(self):
+        rhs = np.array([1., 2, 3], np.float32)
+        x = dp.Variable()
+        out = dp.Problem(dp.sum_squares(2 * x - rhs)).solve(
+            method="admm", x0=jnp.zeros(3), max_iter=50,
+            rhos=1.0, lams=0.1)
+        np.testing.assert_allclose(np.asarray(out), rhs / 2, atol=1e-5)
+
+    def test_lsq_conv_small(self):
+        # reference test_lsq2: conv data term driven to zero residual
+        rng = np.random.RandomState(0)
+        rhs = jnp.asarray(rng.rand(1, 1, 8, 8), jnp.float32)
+        kernel = np.ones((3, 3), np.float32) / 9.0
+        x = dp.Variable()
+        K = dp.conv(x, kernel)
+        out = dp.Problem(dp.sum_squares(K - rhs)).solve(
+            method="admm", x0=jnp.zeros((1, 1, 8, 8)), max_iter=60,
+            rhos=0.5, lams=0.1)
+        resid = dp.linop.eval(K, out) - rhs
+        assert float(jnp.max(jnp.abs(resid))) < 1e-3

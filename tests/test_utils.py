@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -85,6 +86,38 @@ def test_hub_download_path(tmp_path, monkeypatch):
             "https://huggingface.co/datasets/delta-prox/dset/resolve/main/d.mat")
     finally:
         hub.set_download_enabled(False)
+
+
+def test_hub_interrupted_download_leaves_no_partial_cache(tmp_path, monkeypatch):
+    """A transfer that dies mid-flight must not leave a file where
+    _search would later resolve it as a valid cached asset."""
+    from dprox_tpu.utils import hub
+
+    monkeypatch.setattr(hub, "CACHE_DIRS", [str(tmp_path / "cache")])
+    monkeypatch.setattr(hub.os.path, "expanduser",
+                        lambda p: p.replace("~", str(tmp_path)))
+
+    def dying_urlretrieve(url, filename=None):
+        with open(filename, "wb") as f:
+            f.write(b"half a weig")  # partial bytes hit disk...
+        raise ConnectionError("reset mid-transfer")  # ...then the wire drops
+
+    monkeypatch.setattr(hub.urllib.request, "urlretrieve", dying_urlretrieve)
+    monkeypatch.setattr(hub, "_DOWNLOAD_ENABLED", True)
+    with pytest.warns(UserWarning, match="download .* failed"):
+        assert hub.load_path("repo/w.pth", raise_on_miss=False) is None
+    cache_root = tmp_path / ".cache" / "dprox"
+    leftovers = list(cache_root.rglob("*")) if cache_root.exists() else []
+    assert not [p for p in leftovers if p.is_file()], leftovers
+    # and a later successful fetch still lands atomically at the real path
+    def good_urlretrieve(url, filename=None):
+        with open(filename, "wb") as f:
+            f.write(b"weights")
+
+    monkeypatch.setattr(hub.urllib.request, "urlretrieve", good_urlretrieve)
+    p = hub.load_path("repo/w.pth", raise_on_miss=False)
+    assert p is not None and open(p, "rb").read() == b"weights"
+    assert not p.endswith(".tmp")
 
 
 def test_demosaic_bilinear_recovers_smooth():

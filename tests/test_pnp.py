@@ -215,3 +215,22 @@ def test_drunet_compact_residual_wiring():
     assert out_r.shape == x.shape
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(x - out_d),
                                atol=1e-5)
+
+
+def test_deep_prior_prox_sigma_gradient():
+    """d prox(v, sigma) / d sigma is finite and nonzero — mirrors the
+    reference's tests/test_grad.py:6-18 (torch backward through the
+    sigma Parameter); here a direct jax.grad through the prox call."""
+    den = FFDNetDenoiser()
+    if den.params is None:
+        den.params = den.init_params((1, 1, 32, 32))
+    reg = dp.deep_prior(dp.Variable(), den)
+    rng = np.random.RandomState(0)
+    inp = jnp.asarray(rng.randn(1, 1, 32, 32), jnp.float32)
+
+    def loss(sigma):
+        y = reg.prox(inp, sigma)
+        return jnp.mean((inp - y) ** 2)
+
+    g = float(jax.grad(loss)(jnp.float32(0.1)))
+    assert np.isfinite(g) and abs(g) > 0

@@ -48,7 +48,7 @@ def main():
 
     H = W = 512
     x = jnp.asarray(imaging.sample("face")[:, :, :H, :W])
-    report = {"metric": "x8_augment_ab", "shape": f"{H}x{W}x3",
+    report = {"metric": "x8_augment_ab", "shape": "x".join(map(str, x.shape)),
               "device": str(jax.devices()[0])}
 
     for name in ("tiny_ffdnet_color", "res_ffdnet_color"):

@@ -200,10 +200,7 @@ class Algorithm:
         params = dict(params) if params else {}
 
         def _debatch(out):
-            if (orig_shape is not None
-                    and tuple(out.shape) == (1,) + orig_shape):
-                return out[0]
-            return out
+            return self._restore_shape(out, orig_shape)
 
         if callback is not None or not jit:
             x0 = decode_complex(encode_complex(x0))
@@ -225,6 +222,22 @@ class Algorithm:
         run = self._get_jitted(return_full_states, real_output)
         state = run(encode_complex(x0), rhos, lam_list, encode_complex(params))
         return state if return_full_states else _debatch(state[0])
+
+    @staticmethod
+    def _restore_shape(out, orig_shape):
+        """Undo `_prepare_x0`'s batching so the solution comes back in
+        the caller's layout (reference: x.value keeps the user's shape).
+        Handles both the rank-prepend (CHW/2-D/1-D -> B...) and the
+        HWC -> BCHW transpose of `to_jax_array(batch=True)`."""
+        if orig_shape is None:
+            return out
+        if tuple(out.shape) == (1,) + orig_shape:
+            return out[0]
+        if (len(orig_shape) == 3 and orig_shape[2] in (1, 3)
+                and tuple(out.shape) == (1, orig_shape[2],
+                                         orig_shape[0], orig_shape[1])):
+            return jnp.transpose(out[0], (1, 2, 0))
+        return out
 
     @staticmethod
     def _prepare_x0(x0):
@@ -253,6 +266,7 @@ class Algorithm:
         norms per iteration — the convergence observability the
         reference only provides on its LP path (lp/solvers.py:324-336).
         Returns ``(x, {'r_primal': [T], 'r_dual': [T]})``."""
+        orig_shape = tuple(x0.shape) if hasattr(x0, "shape") else None
         x0 = self._prepare_x0(x0)
         rhos, lam_list = self.defaults(rhos, lams, max_iter)
         params = dict(params) if params else {}
@@ -284,8 +298,9 @@ class Algorithm:
                 return out, res
 
             self._jit_cache[key] = jax.jit(_run)
-        return self._jit_cache[key](encode_complex(x0), rhos, lam_list,
-                                    encode_complex(params))
+        out, res = self._jit_cache[key](encode_complex(x0), rhos, lam_list,
+                                        encode_complex(params))
+        return self._restore_shape(out, orig_shape), res
 
     def solve_until(self, x0=None, rhos=None, lams=None,
                     max_iter: int = 100, tol: float = 1e-4,
@@ -300,6 +315,7 @@ class Algorithm:
         The reference's imaging solvers always run the full schedule;
         only its LP path stops on residuals (lp/solvers.py:208-210).
         """
+        orig_shape = tuple(x0.shape) if hasattr(x0, "shape") else None
         x0 = self._prepare_x0(x0)
         rhos, lam_list = self.defaults(rhos, lams, max_iter)
         params = dict(params) if params else {}
@@ -340,9 +356,10 @@ class Algorithm:
                 return out, k
 
             self._jit_cache[key] = jax.jit(_run)
-        return self._jit_cache[key](encode_complex(x0), rhos, lam_list,
-                                    encode_complex(params),
-                                    jnp.float32(tol))
+        out, k = self._jit_cache[key](encode_complex(x0), rhos, lam_list,
+                                      encode_complex(params),
+                                      jnp.float32(tol))
+        return self._restore_shape(out, orig_shape), k
 
     def iters(self, state, rhos, lam_list, max_iter: int,
               params: Optional[Params] = None, offsets=None, x_ref=None):

@@ -66,6 +66,9 @@ class ScenarioLP:
     def __init__(self, c, A_ub, b_ub, A_eq, b_eq_s, shared_idx,
                  b_ub_s=None, probs=None, dtype=jnp.float64):
         n = c.shape[0]
+        # canonicalize up front: f64 without jax_enable_x64 means f32 —
+        # make that explicit instead of warning on every jnp.asarray
+        dtype = jax.dtypes.canonicalize_dtype(dtype)
         self.dtype = dtype
         A_ub = sp.csr_matrix(A_ub) if A_ub is not None else sp.csr_matrix((0, n))
         A_eq = sp.csr_matrix(A_eq) if A_eq is not None else sp.csr_matrix((0, n))
@@ -146,7 +149,7 @@ class ConsensusLPSolver:
                  alpha: float = 1.6, rho_ph: float = 1.0,
                  inner_steps: int = 10, dtype=jnp.float64,
                  verbose: bool = False):
-        self.dtype = dtype
+        self.dtype = jax.dtypes.canonicalize_dtype(dtype)
         self.inner_steps = inner_steps
         self.verbose = verbose
         self._defaults = dict(rho=rho, sigma=sigma, alpha=alpha,

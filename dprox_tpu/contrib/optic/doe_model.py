@@ -105,6 +105,10 @@ class HeightMap:
         return phi / k / delta_n
 
     def get_phase_profile(self, height_map_sqrt: jnp.ndarray) -> jnp.ndarray:
+        if jnp.iscomplexobj(height_map_sqrt):
+            raise TypeError(
+                "height_map_sqrt must be real (got complex — a phase "
+                "profile? pass it as get_psf(phase_profile=...) instead)")
         height_map = jnp.square(height_map_sqrt)
         phi = jnp.asarray(self.wave_nos * self.delta_N, jnp.float32) * height_map
         return jnp.exp(1j * phi.astype(jnp.float32))

@@ -51,10 +51,16 @@ def _try_download(rel_path: str, repo_type: str) -> Optional[str]:
     save_path = os.path.join(os.path.expanduser("~/.cache/dprox"), rel_path)
     url = _hub_url(rel_path, repo_type)
     os.makedirs(os.path.dirname(save_path), exist_ok=True)
-    # fetch to a temp name and rename only on success: an interrupted
-    # transfer must not leave a partial file where _search would later
-    # pick it up as a valid cached asset
-    tmp_path = save_path + ".tmp"
+    # fetch to a unique temp name and rename only on success: an
+    # interrupted transfer must not leave a partial file where _search
+    # would later pick it up, and concurrent downloads of the same asset
+    # must not clobber each other's in-flight temp file
+    import tempfile
+
+    fd, tmp_path = tempfile.mkstemp(
+        dir=os.path.dirname(save_path),
+        prefix=os.path.basename(save_path) + ".", suffix=".tmp")
+    os.close(fd)
     try:
         urllib.request.urlretrieve(url, filename=tmp_path)
         os.replace(tmp_path, save_path)

@@ -29,8 +29,8 @@ def main(patch: int = 128, denoiser: str = "tv", max_iter: int = 10):
     model = build_doe_model(config)
     # fixed optic: ideal Fresnel-lens phase at the center wavelength
     # (reference: build_baseline_profile, contrib/optic/doe_model.py)
-    fresnel_sqrt = build_baseline_profile(model)
-    psf = model.get_psf({"height_map_sqrt": fresnel_sqrt})
+    fresnel_profile = build_baseline_profile(model)
+    psf = model.get_psf(phase_profile=fresnel_profile)
 
     x = dp.Variable()
     y = dp.Placeholder("y")

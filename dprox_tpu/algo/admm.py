@@ -35,12 +35,14 @@ class ADMM(Algorithm):
     def __init__(self, psi_fns, omega_fns, try_diagonalize=True,
                  try_freq_diagonalize=True,
                  linear_solve_config: LinearSolveConfig = None,
-                 spatial_mesh=None, spatial_axis: str = "space"):
+                 spatial_mesh=None, spatial_axis: str = "space",
+                 spatial_batch_axis=None):
         super().__init__(psi_fns, omega_fns)
         self.least_square = get_least_square_solver(
             psi_fns, omega_fns, try_diagonalize, try_freq_diagonalize,
             linear_solve_config or LinearSolveConfig(),
-            spatial_mesh=spatial_mesh, spatial_axis=spatial_axis)
+            spatial_mesh=spatial_mesh, spatial_axis=spatial_axis,
+            spatial_batch_axis=spatial_batch_axis)
 
     def initialize(self, x0, params, v=None):
         x = x0

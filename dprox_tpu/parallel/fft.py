@@ -57,7 +57,8 @@ def _fft2_shard(xl, axis: str, inverse: bool):
     return _fft_rows(xl, True)
 
 
-def make_distributed_fft2(mesh: Mesh, axis: str = "space", ndim: int = 4):
+def make_distributed_fft2(mesh: Mesh, axis: str = "space", ndim: int = 4,
+                          batch_axis: str | None = None):
     """Build (fft2, ifft2) over the trailing two axes of ``ndim``-d
     arrays, sharded over ``mesh[axis]``.
 
@@ -66,9 +67,19 @@ def make_distributed_fft2(mesh: Mesh, axis: str = "space", ndim: int = 4):
     ifft2 maps back. Both are plain traceable functions — compose under
     jit/scan, and GSPMD inserts nothing extra (the all_to_all is the
     whole communication). H and W must be divisible by the axis size.
+
+    ``batch_axis``: also shard the LEADING array axis over this mesh
+    axis (composite batch x space on a 2-D mesh: B images split over
+    ``batch_axis``, each image's rows split over ``axis``). The
+    all_to_all still runs only over ``axis`` sub-groups — per-image
+    communication is unchanged by the batch dimension.
     """
-    row = P(*([None] * (ndim - 2) + [axis, None]))
-    col = P(*([None] * (ndim - 2) + [None, axis]))
+    if batch_axis is not None and ndim < 3:
+        raise ValueError("batch_axis needs ndim >= 3 (leading batch dim)")
+    lead = [batch_axis] + [None] * (ndim - 3) if batch_axis else \
+        [None] * (ndim - 2)
+    row = P(*(lead + [axis, None]))
+    col = P(*(lead + [None, axis]))
 
     fft2 = shard_map(lambda xl: _fft2_shard(xl, axis, inverse=False),
                      mesh=mesh, in_specs=row, out_specs=col)

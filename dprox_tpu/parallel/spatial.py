@@ -32,7 +32,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def sharded_denoise(denoise_fn: Callable, x: jnp.ndarray, mesh: Mesh,
-                    axis: str = "space", halo: int = 16):
+                    axis: str = "space", halo: int = 16,
+                    batch_axis: str = None):
     """Apply ``denoise_fn(x_block) -> y_block`` ([B,C,h,W] -> same) to an
     image sharded along H over ``axis``.
 
@@ -40,6 +41,10 @@ def sharded_denoise(denoise_fn: Callable, x: jnp.ndarray, mesh: Mesh,
     H/n >= 2*halo. ``halo`` must cover the network's receptive-field
     radius (keep it a multiple of any pixel-unshuffle factor). Returns
     [B,C,H,W] with the same sharding.
+
+    ``batch_axis``: additionally shard B over this mesh axis (composite
+    batch x space on a 2-D mesh). The halo ppermutes still run only
+    within each ``axis`` sub-group.
     """
     n = mesh.shape[axis]
     if x.shape[2] % n:
@@ -71,7 +76,6 @@ def sharded_denoise(denoise_fn: Callable, x: jnp.ndarray, mesh: Mesh,
         start = jnp.where(idx == 0, 0, jnp.where(idx == n - 1, 2 * halo, halo))
         return jax.lax.dynamic_slice_in_dim(out, start, x_l.shape[2], axis=2)
 
-    fn = shard_map(body, mesh=mesh,
-                   in_specs=P(None, None, axis, None),
-                   out_specs=P(None, None, axis, None))
+    spec = P(batch_axis, None, axis, None)
+    fn = shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec)
     return fn(x)

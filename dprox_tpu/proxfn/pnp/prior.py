@@ -152,7 +152,8 @@ class deep_prior(ProxFn):
                  param_key: Optional[str] = None, spatial_mesh=None,
                  spatial_axis: str = "space",
                  spatial_halo: Optional[int] = None,
-                 spatial_gather: bool = True):
+                 spatial_gather: bool = True,
+                 spatial_batch_axis: Optional[str] = None):
         """``spatial_mesh``: run denoiser inference spatially sharded over
         this mesh axis with halo exchange (parallel.sharded_denoise) —
         exact vs unsharded when the halo covers the receptive field.
@@ -166,6 +167,9 @@ class deep_prior(ProxFn):
             self.denoiser = Augment(self.denoiser)
         self.spatial_mesh = spatial_mesh
         self.spatial_axis = spatial_axis
+        # composite batch x space: B sharded over this 2-D-mesh axis while
+        # each image's rows shard over spatial_axis
+        self.spatial_batch_axis = spatial_batch_axis
         # gather=False keeps the prox output row-sharded — pair it with a
         # least_squares(spatial_mesh=...) distributed-FFT x-update so the
         # WHOLE solve loop stays sharded (no per-prox all-gather)
@@ -226,21 +230,24 @@ class deep_prior(ProxFn):
                 lambda blk: self.denoiser.denoise(blk, sigma.reshape(-1),
                                                   params=dp),
                 inp, self.spatial_mesh, axis=self.spatial_axis,
-                halo=self.spatial_halo)
+                halo=self.spatial_halo,
+                batch_axis=self.spatial_batch_axis)
+            ba = self.spatial_batch_axis
             if self.spatial_gather:
                 # a device-local FFT x-update mixes rows globally, so
                 # gather the shards right away (XLA would insert the
                 # collective at the FFT anyway; the explicit constraint
                 # also sidesteps an XLA-CPU fft layout RET_CHECK in host
-                # emulation)
+                # emulation). With a composite batch axis, B stays
+                # sharded — only the spatial shards gather.
                 out = jax.lax.with_sharding_constraint(
-                    out, NamedSharding(self.spatial_mesh, P()))
+                    out, NamedSharding(self.spatial_mesh, P(ba)))
             else:
                 # distributed-FFT x-update (parallel/fft.py): keep rows
                 # sharded end-to-end
                 out = jax.lax.with_sharding_constraint(
                     out, NamedSharding(self.spatial_mesh,
-                                       P(None, None, self.spatial_axis,
+                                       P(ba, None, self.spatial_axis,
                                          None)))
         else:
             out = self.denoiser.denoise(inp, sigma.reshape(-1), params=dp)

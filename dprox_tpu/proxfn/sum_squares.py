@@ -156,7 +156,8 @@ class least_squares(ProxFn):
                  try_diagonalize: bool = True, try_freq_diagonalize: bool = True,
                  fallback_solver: str = "cg",
                  linear_solve_config: Optional[LinearSolveConfig] = None,
-                 spatial_mesh=None, spatial_axis: str = "space"):
+                 spatial_mesh=None, spatial_axis: str = "space",
+                 spatial_batch_axis: Optional[str] = None):
         self.quad_fns = list(quad_fns)
         self.other_fns = list(other_fns)
         self.linear_solve_config = linear_solve_config or LinearSolveConfig(
@@ -168,7 +169,7 @@ class least_squares(ProxFn):
             from ..parallel.fft import make_distributed_fft2
 
             self._fft2, self._ifft2 = make_distributed_fft2(
-                spatial_mesh, spatial_axis)
+                spatial_mesh, spatial_axis, batch_axis=spatial_batch_axis)
         else:
             self._fft2, self._ifft2 = _fftn2, _ifftn2
         self.spatial_mesh = spatial_mesh

@@ -216,3 +216,70 @@ def test_fully_sharded_pnp_admm_under_jit():
     with smesh:
         out = sh_solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=4)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 5e-5
+
+
+def test_composite_batch_space_sharded_solve_under_jit():
+    """VERDICT r2 next-round #4: batch x space composed in ONE solve on a
+    2-D mesh — B images sharded over 'batch', each image's rows sharded
+    over 'space', through the full jitted PnP-ADMM loop (halo-exchange
+    denoiser prox with spatial_gather=False + distributed-FFT x-update,
+    both batch-aware). Matches the unsharded jitted solve."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devices, axis_names=("batch", "space"))
+
+    img = imaging.sample("face")[:, :, :128, :128]
+    b_batch = jnp.concatenate([img, jnp.flip(img, axis=-1)], axis=0)  # B=2
+    psf = imaging.point_spread_function(15, 5)
+    y = dp.Placeholder("y")
+    x = dp.Variable()
+    data = dp.sum_squares(dp.conv(x, psf) - y)
+    b = imaging.blurring(b_batch, psf)
+
+    ref_solver = dp.compile(
+        [data, dp.deep_prior(x, "tiny_ffdnet_color")], "admm")
+    sh_solver = dp.compile(
+        [data, dp.deep_prior(x, "tiny_ffdnet_color", spatial_mesh=mesh2,
+                             spatial_gather=False,
+                             spatial_batch_axis="batch")],
+        "admm", spatial_mesh=mesh2, spatial_batch_axis="batch")
+    rhos, sigmas = dp.log_descent(35, 10, 4)
+    ref = ref_solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=4,
+                           params={"y": b})
+    with mesh2:
+        b_sh = jax.device_put(
+            b, NamedSharding(mesh2, P("batch", None, "space", None)))
+        out = sh_solver.solve(x0=b_sh, rhos=rhos, lams=sigmas, max_iter=4,
+                              params={"y": b_sh})
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 5e-5
+
+
+def test_composite_batch_space_comm_counts():
+    """Comm guard for the composed mesh: the distributed FFT still pays
+    exactly ONE all_to_all per transform and the sharded denoiser ONE
+    ppermute pair per call — the batch axis adds ZERO collectives."""
+    import sys
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_comm_counts import count_collectives
+
+    from dprox_tpu.parallel.fft import make_distributed_fft2
+    from dprox_tpu.parallel.spatial import sharded_denoise
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devices, axis_names=("batch", "space"))
+
+    fft2, ifft2 = make_distributed_fft2(mesh2, "space", batch_axis="batch")
+    x = jnp.zeros((2, 3, 64, 64), jnp.complex64)
+    c = count_collectives(jax.make_jaxpr(lambda v: ifft2(fft2(v)))(x))
+    assert c == {("all_to_all", False): 2}, c
+
+    xr = jnp.zeros((2, 1, 64, 64), jnp.float32)
+    c = count_collectives(jax.make_jaxpr(
+        lambda v: sharded_denoise(lambda blk: blk * 2.0, v, mesh2,
+                                  axis="space", halo=4,
+                                  batch_axis="batch"))(xr))
+    assert c == {("ppermute", False): 2}, c

@@ -366,9 +366,41 @@ def minres(A: Callable, b: Array, x0: Optional[Array] = None, rtol: float = 1e-6
     return dict(zip(keys, carry))["x"]
 
 
+def cg_pallas(A: Callable, b: Array, x0: Optional[Array] = None,
+              rtol: float = 1e-6, max_iters: int = 100,
+              verbose: bool = False) -> Array:
+    """Batched CG whose per-iteration tail (both reductions + all three
+    axpys) runs as ONE fused Pallas VMEM pass (ops/pallas_kernels.py::
+    fused_cg_tail); only the matvec A(p) stays an XLA program. Same math
+    and stopping rule as :func:`cg` — A/B'd against it on the real TPU in
+    benchmarks/cg_pallas_ab.py (BASELINE.json north-star clause)."""
+    from ..ops.pallas_kernels import fused_cg_tail
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x)
+    p = r
+    rs = bdot(r, r)
+    bnorm = jnp.sqrt(bdot(b, b))
+    tol = rtol * jnp.maximum(bnorm, 1e-32)
+
+    def cond(carry):
+        x, r, p, rs, k = carry
+        return jnp.logical_and(k < max_iters, jnp.any(jnp.sqrt(rs) > tol))
+
+    def body(carry):
+        x, r, p, rs, k = carry
+        x, r, p, rs = fused_cg_tail(x, r, p, A(p), rs)
+        return x, r, p, rs, k + 1
+
+    x, r, p, rs, k = jax.lax.while_loop(cond, body,
+                                        (x, r, p, rs, jnp.int32(0)))
+    return x
+
+
 SOLVERS = {
     "cg": cg,
     "cg2": cg2,
+    "cg_pallas": cg_pallas,
     "pcg": pcg,
     "plss": plss,
     "plssw": plssw,

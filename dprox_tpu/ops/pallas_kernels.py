@@ -242,3 +242,74 @@ def bdot_pallas(p, q, force: bool = False):
         out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
     )(p2, q2)
     return out[:, 0]
+
+
+# --------------------------------------------------------------------------- #
+# Fused CG iteration tail (BASELINE.json north-star: "CG/PCG rewritten as
+# Pallas kernels"): everything in a CG step EXCEPT the matvec A(p) —
+#   pAp = <p, Ap>;  alpha = rs/pAp
+#   x' = x + alpha p;  r' = r - alpha Ap;  rs' = <r', r'>
+#   beta = rs'/rs;     p' = r' + beta p'
+# — two reductions + three axpys fused into ONE VMEM pass per batch
+# element (XLA schedules the dependent reductions as separate HBM
+# passes). The matvec itself stays an XLA program: for the imaging
+# solvers it is FFT/conv-based, which Pallas cannot express better than
+# the XLA FFT thunks. A/B vs the plain while_loop CG in
+# benchmarks/cg_pallas_ab.py.
+# --------------------------------------------------------------------------- #
+
+def _cg_tail_ref(x, r, p, Ap, rs):
+    B = x.shape[0]
+    bdot = lambda a, b: jnp.sum(a.reshape(B, -1) * b.reshape(B, -1), axis=1)
+    exp = lambda s: s.reshape((-1,) + (1,) * (x.ndim - 1))
+    pAp = bdot(p, Ap)
+    alpha = rs / jnp.maximum(pAp, 1e-32)
+    x = x + exp(alpha) * p
+    r = r - exp(alpha) * Ap
+    rs_new = bdot(r, r)
+    beta = rs_new / jnp.maximum(rs, 1e-32)
+    p = r + exp(beta) * p
+    return x, r, p, rs_new
+
+
+def _cg_tail_kernel(x_ref, r_ref, p_ref, Ap_ref, rs_ref,
+                    xo_ref, ro_ref, po_ref, rso_ref):
+    p = p_ref[:]
+    Ap = Ap_ref[:]
+    rs = rs_ref[0, 0]
+    pAp = jnp.sum(p * Ap)
+    alpha = rs / jnp.maximum(pAp, 1e-32)
+    r_new = r_ref[:] - alpha * Ap
+    rs_new = jnp.sum(r_new * r_new)
+    beta = rs_new / jnp.maximum(rs, 1e-32)
+    xo_ref[:] = x_ref[:] + alpha * p
+    ro_ref[:] = r_new
+    po_ref[:] = r_new + beta * p
+    rso_ref[0, 0] = rs_new
+
+
+def fused_cg_tail(x, r, p, Ap, rs, force: bool = False,
+                  interpret: bool = False):
+    """One CG iteration minus the matvec, fused; per-batch independent.
+
+    x/r/p/Ap: [B, ...] same shape; rs: [B]. Returns (x', r', p', rs').
+    """
+    if not (_HAS_PALLAS and (_on_tpu() or force or interpret)):
+        return _cg_tail_ref(x, r, p, Ap, rs)
+    B = x.shape[0]
+    D = int(x.size) // B
+    shp = x.shape
+    x2, r2, p2, Ap2 = (a.reshape(B, D) for a in (x, r, p, Ap))
+    rs2 = rs.reshape(B, 1)
+    row = pl.BlockSpec((1, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    xo, ro, po, rso = pl.pallas_call(
+        _cg_tail_kernel,
+        grid=(B,),
+        out_shape=(jax.ShapeDtypeStruct((B, D), x.dtype),) * 3
+        + (jax.ShapeDtypeStruct((B, 1), rs.dtype),),
+        in_specs=[row, row, row, row, scal],
+        out_specs=(row, row, row, scal),
+        interpret=interpret,
+    )(x2, r2, p2, Ap2, rs2)
+    return xo.reshape(shp), ro.reshape(shp), po.reshape(shp), rso[:, 0]

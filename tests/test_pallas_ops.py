@@ -65,3 +65,35 @@ def test_bsr_matvec_kernel_interpret():
     np.testing.assert_allclose(
         np.asarray(outT.reshape(-1)[:384]), A.T @ np.asarray(y),
         rtol=1e-4, atol=1e-5)
+
+
+def test_fused_cg_tail_kernel_interpret():
+    """The actual Pallas fused-CG-tail kernel (interpret mode) matches
+    the jnp reference for a batch of states."""
+    from dprox_tpu.ops.pallas_kernels import _cg_tail_ref, fused_cg_tail
+
+    rng = np.random.RandomState(5)
+    shp = (2, 3, 16, 128)
+    x, r, p, Ap = (jnp.asarray(rng.randn(*shp).astype(np.float32))
+                   for _ in range(4))
+    rs = jnp.sum(r.reshape(2, -1) ** 2, axis=1)
+    ref = _cg_tail_ref(x, r, p, Ap, rs)
+    out = fused_cg_tail(x, r, p, Ap, rs, interpret=True)
+    for a, b in zip(out, ref):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                           atol=1e-4), np.abs(np.asarray(a) - np.asarray(b)).max()
+
+
+def test_cg_pallas_solver_matches_cg():
+    """cg_pallas (fused-tail variant) solves the same SPD system to the
+    same solution as plain cg (jnp fallback path on CPU)."""
+    from dprox_tpu.linalg.solvers import cg, cg_pallas
+
+    rng = np.random.RandomState(6)
+    M = rng.randn(8, 8).astype(np.float32)
+    A_mat = jnp.asarray(M @ M.T + 8 * np.eye(8, dtype=np.float32))
+    b = jnp.asarray(rng.randn(2, 8).astype(np.float32))
+    A = lambda v: v @ A_mat.T
+    x_ref = cg(A, b, rtol=1e-8, max_iters=50)
+    x_new = cg_pallas(A, b, rtol=1e-8, max_iters=50)
+    assert np.allclose(np.asarray(x_new), np.asarray(x_ref), atol=1e-5)

@@ -1,0 +1,195 @@
+"""Task-scale DEQ training on CSMRI (VERDICT r2 next-round #2).
+
+Trains a deep-equilibrium CSMRI solver — one ADMM iteration (csmri
+fast prox + grayscale deep prior) as the fixed-point map, gradients via
+the implicit adjoint solve (algo/special/deq.py) — at the
+tests/paper/test_csmri_grid.py scale (128^2, radial masks, measurement
+noise). The trained parameters are the PRIOR's denoiser weights
+(threaded through ``params['deq_prior']``) plus the global (rho, lam)
+multipliers, mirroring the reference's DEQ-UNet whose UNet is trained
+through the equilibrium (reference: tests/paper/test_csmri.py:197-222,
+algo/specialization/deq/solver.py).
+
+Evaluation: held-out natural crops + the phantom grid, trained-DEQ vs
+PnP-ADMM (res_ffdnet_tv, log_descent) at the SAME inference budget
+(24 iterations).
+
+    python scripts/train_deq_csmri.py --steps 600      (real TPU)
+    python scripts/train_deq_csmri.py --eval-only
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+
+import dprox_tpu as dp
+from dprox_tpu.algo.special import DEQSolver
+from dprox_tpu.contrib import csmri
+from dprox_tpu.proxfn.pnp.prior import get_denoiser
+from dprox_tpu.utils import metrics
+
+from train_tiny_denoiser import natural_crops, synth_images
+
+WEIGHTS = os.path.join(os.path.dirname(__file__), "..", "weights",
+                       "deq_csmri.msgpack")
+SIZE = 128
+BUDGET = 24  # equal-budget comparison: DEQ f_thres == PnP max_iter
+
+
+def build_deq(f_thres=BUDGET, b_thres=16):
+    den = get_denoiser("res_ffdnet")
+    x = dp.Variable()
+    y = dp.Placeholder("y")
+    mask = dp.Placeholder("mask", batch=False)
+    reg = dp.deep_prior(x, den, sqrt=True, param_key="deq_prior")
+    solver = dp.compile(dp.csmri(x, mask, y) + reg, method="admm")
+    deq = DEQSolver(solver, learned_params=True, f_thres=f_thres,
+                    b_thres=b_thres)
+    return deq, den
+
+
+def init_params(deq, den):
+    p = deq.init_params()
+    p["deq_prior"] = den.params
+    return p
+
+
+def make_samples(n, seed0, phantom_frac=0.25):
+    """CSMRI problems: natural gray crops + Shepp-Logan-family phantoms,
+    random radial masks, mixed measurement noise."""
+    n_ph = int(n * phantom_frac)
+    crops = natural_crops(n - n_ph, SIZE, 1, seed=seed0)[..., 0]
+    rng = np.random.RandomState(seed0)
+    out = []
+    for i in range(n):
+        gt = None if i < n_ph else crops[i - n_ph]
+        out.append(csmri.generate_sample(
+            SIZE, num_lines=int(rng.choice([30, 40, 50])),
+            sigma=float(rng.choice([0.0, 0.02, 0.05])), seed=seed0 + i,
+            gt=gt))
+    return out
+
+
+def pnp_psnr(sample, max_iter=BUDGET, prior="res_ffdnet_tv"):
+    x = dp.Variable()
+    y = dp.Placeholder("y")
+    mask = dp.Placeholder("mask", batch=False)
+    solver = dp.compile(dp.csmri(x, mask, y) + dp.deep_prior(x, prior,
+                                                             sqrt=True),
+                        method="admm")
+    rhos, sigmas = dp.log_descent(30, 5, max_iter, sigma=0.01)
+    out = solver.solve(x0=sample["x0"], rhos=rhos, lams=sigmas,
+                       max_iter=max_iter, params=sample["params"],
+                       real_output=True)
+    return metrics.psnr(np.asarray(out), sample["gt"])
+
+
+def deq_psnr(deq, sample, params):
+    p = dict(params)
+    p.update(sample["params"])
+    out = deq.solve(x0=np.real(sample["x0"]).astype(np.float32),
+                    rhos=0.3, lams=0.05, params=p)
+    return metrics.psnr(np.real(np.asarray(out)), sample["gt"])
+
+
+def evaluate(deq, params, samples, tag=""):
+    gains = []
+    for i, s in enumerate(samples):
+        bp = pnp_psnr(s)
+        tp = deq_psnr(deq, s, params)
+        gains.append(tp - bp)
+        print(f"  {tag}[{i}] pnp {bp:6.2f}  deq {tp:6.2f}  "
+              f"gain {tp - bp:+5.2f} dB", flush=True)
+    print(f"{tag} mean gain {np.mean(gains):+5.2f} dB "
+          f"(min {np.min(gains):+5.2f})", flush=True)
+    return float(np.mean(gains))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--n-train", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=2e-5)
+    ap.add_argument("--lr-mult", type=float, default=2e-3,
+                    help="lr for the global rho/lam multipliers")
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--size", type=int, default=None,
+                    help="override problem size (CPU smoke tests)")
+    ap.add_argument("--f-thres", type=int, default=BUDGET)
+    args = ap.parse_args()
+
+    global SIZE
+    if args.size:
+        SIZE = args.size
+    deq, den = build_deq(f_thres=args.f_thres)
+    params = init_params(deq, den)
+
+    heldout = make_samples(6, seed0=9100)
+    heldout += [csmri.generate_sample(SIZE, num_lines=l, sigma=s)
+                for l, s in ((50, 0.0), (40, 0.05))]
+
+    if args.eval_only:
+        with open(WEIGHTS, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        evaluate(deq, params, heldout, tag="heldout")
+        return
+
+    train = make_samples(args.n_train, seed0=args.seed)
+
+    # separate lrs: the rho/lam multipliers move orders of magnitude
+    # faster than finetuning conv weights
+    label = {"deq_prior": "slow", "deq_r": "fast", "deq_l": "fast"}
+    tx = optax.multi_transform(
+        {"slow": optax.adam(args.lr), "fast": optax.adam(args.lr_mult)},
+        {k: label[k] for k in params})
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def update(params, opt_state, x0, y, mask, gt):
+        def loss_fn(p):
+            pp = dict(p)
+            pp["y"] = y
+            pp["mask"] = mask
+            out = deq.solve(x0=x0, rhos=0.3, lams=0.05, params=pp)
+            return jnp.mean((jnp.real(out) - gt) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        # drop gradient components that leaked into data keys
+        g = {k: g[k] for k in ("deq_prior", "deq_r", "deq_l")}
+        upd, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    rng = np.random.RandomState(args.seed + 7)
+    t0 = time.time()
+    for step in range(args.steps):
+        s = train[rng.randint(len(train))]
+        params, opt_state, loss = update(
+            params, opt_state,
+            jnp.asarray(np.real(s["x0"]), jnp.float32),
+            s["params"]["y"], s["params"]["mask"],
+            jnp.asarray(s["gt"], jnp.float32))
+        if step % 25 == 0:
+            print(f"step {step}/{args.steps} loss {float(loss):.5f} "
+                  f"r={float(params['deq_r']):.3f} "
+                  f"l={float(params['deq_l']):.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    evaluate(deq, params, heldout, tag="heldout")
+    with open(WEIGHTS, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+    print(f"saved {WEIGHTS} ({os.path.getsize(WEIGHTS) // 1024} KB)")
+
+
+if __name__ == "__main__":
+    main()

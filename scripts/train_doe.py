@@ -1,0 +1,210 @@
+"""End-to-end DOE co-design training at task scale (VERDICT r2 #3).
+
+Trains the diffractive optical element's height map JOINTLY with the
+unrolled PnP-ADMM reconstruction schedules by differentiating through
+PSF simulation (Fresnel propagation) -> conv_doe measurement -> 10
+ADMM iterations with the shipped fusion prior — the reference's
+flagship SIGGRAPH'23 experiment (examples/.../e2e_optics_dprox.py:
+113-229, golden tests/paper/test_optics.py:97-105) at an
+offline-feasible scale (128^2 natural crops, in-repo prior).
+
+Ships weights/doe_codesign.msgpack = {height_map_sqrt, rhos, sigmas};
+the pinned golden (tests/test_optics.py) compares co-designed vs
+fixed-Fresnel-lens reconstruction on held-out crops.
+
+    python scripts/train_doe.py --steps 400     (real TPU)
+    python scripts/train_doe.py --eval-only
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+
+import dprox_tpu as dp
+from dprox_tpu.contrib.optic import (DOEModelConfig, build_baseline_profile,
+                                     build_doe_model, img_psf_conv)
+from dprox_tpu.utils import metrics
+
+from train_tiny_denoiser import natural_crops
+
+WEIGHTS = os.path.join(os.path.dirname(__file__), "..", "weights",
+                       "doe_codesign.msgpack")
+PATCH = 128
+MAX_ITER = 10
+SIGMA = 7.65 / 255
+PRIOR = "res_ffdnet_color_tv"
+# Downscaling the reference optic (748px/2e-6m) to 128px raises the
+# sample interval ~6x; at the reference's 15mm sensor distance the
+# Fresnel-lens phase gradient k*r_max*dx/d then exceeds pi per sample
+# (aliased -> unfocused PSF, ~2% energy near the peak). 80mm keeps the
+# phase Nyquist-sampled: the baseline lens focuses 98% of its energy
+# within 5px, so the co-design is compared against a REAL lens.
+SENSOR_DISTANCE = 80e-3
+
+
+def build(patch=PATCH, prior=PRIOR):
+    config = DOEModelConfig(
+        patch_size=patch, wave_resolution=(patch * 2, patch * 2),
+        sample_interval=2e-6 * 1496 / (patch * 2),
+        sensor_distance=SENSOR_DISTANCE)
+    model = build_doe_model(config)
+    x = dp.Variable()
+    psf_ph = dp.Placeholder("psf")
+    y_ph = dp.Placeholder("y")
+    data_term = dp.sum_squares(dp.conv_doe(x, psf_ph, circular=True), b=y_ph)
+    solver = dp.compile(data_term + dp.deep_prior(x, prior), method="admm")
+    return config, model, solver
+
+
+def hopper_crops(size=PATCH, n=4):
+    """Held-out eval crops from grace_hopper.jpg (never trained on)."""
+    import matplotlib
+    from PIL import Image
+
+    path = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                        "sample_data", "grace_hopper.jpg")
+    img = np.asarray(Image.open(path), np.float32) / 255.0
+    h, w = img.shape[:2]
+    rng = np.random.RandomState(42)
+    crops = []
+    for _ in range(n):
+        top, left = rng.randint(h - size + 1), rng.randint(w - size + 1)
+        crops.append(img[top:top + size, left:left + size]
+                     .transpose(2, 0, 1))
+    return np.stack(crops)
+
+
+def hand_schedule(n=MAX_ITER):
+    """Best hand schedule found for this optic family (grid search over
+    geomspace rho descents x log_descent sigmas; 20.95 dB on face with
+    the TV prior vs 6.9 dB with the imaging default (49,7.65) DPIR
+    schedule, whose rho~1e-5 turns the x-update into an unregularized
+    pseudo-inverse of the |H|~0.33-scaled OTF)."""
+    rhos = jnp.geomspace(0.3, 0.03, n)
+    _, sigmas = dp.log_descent(80, 30, n)
+    return rhos, sigmas
+
+
+def reconstruct(model, solver, gt, height_map_sqrt=None, phase_profile=None,
+                rhos=None, sigmas=None, key=0):
+    """Simulate measurement through the given optic and reconstruct."""
+    if phase_profile is not None:
+        psf = model.get_psf(phase_profile=phase_profile)
+    else:
+        psf = model.get_psf({"height_map_sqrt": height_map_sqrt})
+    inp = img_psf_conv(gt, psf, circular=True)
+    inp = inp + SIGMA * jax.random.normal(jax.random.key(key), inp.shape)
+    out = solver.solve(x0=inp, rhos=rhos, lams=sigmas, max_iter=MAX_ITER,
+                       params={"psf": psf, "y": inp})
+    return out, inp
+
+
+def evaluate(model, solver, params, crops, tag=""):
+    """Co-designed vs fixed Fresnel lens, same solver family."""
+    rhos0, sigmas0 = hand_schedule()
+    fresnel = build_baseline_profile(model)
+    gains = []
+    for i, gt in enumerate(crops):
+        gt = jnp.asarray(gt)[None]
+        out_c, _ = reconstruct(model, solver, gt,
+                               height_map_sqrt=params["height_map_sqrt"],
+                               rhos=params["rhos"], sigmas=params["sigmas"],
+                               key=100 + i)
+        out_f, _ = reconstruct(model, solver, gt, phase_profile=fresnel,
+                               rhos=rhos0, sigmas=sigmas0, key=100 + i)
+        pc = metrics.psnr(np.clip(np.asarray(out_c), 0, 1), np.asarray(gt))
+        pf = metrics.psnr(np.clip(np.asarray(out_f), 0, 1), np.asarray(gt))
+        gains.append(pc - pf)
+        print(f"  {tag}[{i}] fresnel {pf:6.2f}  co-designed {pc:6.2f}  "
+              f"gain {pc - pf:+5.2f} dB", flush=True)
+    print(f"{tag} mean gain {np.mean(gains):+5.2f} dB "
+          f"(min {np.min(gains):+5.2f})", flush=True)
+    return float(np.mean(gains))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--n-train", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--lr-height", type=float, default=5e-4)
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--prior", type=str, default=PRIOR)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    config, model, solver = build(prior=args.prior)
+    rhos0, sigmas0 = hand_schedule()
+    params = {"height_map_sqrt": model.init_params()["height_map_sqrt"],
+              "rhos": rhos0, "sigmas": sigmas0}
+    crops_eval = hopper_crops()
+
+    if args.eval_only:
+        with open(WEIGHTS, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        evaluate(model, solver, params, crops_eval, tag="heldout")
+        return
+
+    data = jnp.asarray(natural_crops(args.n_train, PATCH, 3, seed=args.seed)
+                       .transpose(0, 3, 1, 2))
+
+    def step_fn(params, key, batch):
+        psf = model.get_psf({"height_map_sqrt": params["height_map_sqrt"]})
+        inp = img_psf_conv(batch, psf, circular=True)
+        inp = inp + SIGMA * jax.random.normal(key, inp.shape)
+        out = solver.solve(x0=inp, rhos=params["rhos"],
+                           lams=params["sigmas"], max_iter=MAX_ITER,
+                           params={"psf": psf, "y": inp})
+        return jnp.mean((out - batch) ** 2)
+
+    # per-group lrs: the height map's phase wraps every ~1um, so large
+    # steps destroy focus (2 smoke steps at a flat 5e-3 cost -6 dB);
+    # the schedules tolerate much larger relative moves
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.multi_transform(
+            {"height": optax.adam(args.lr_height),
+             "sched": optax.adam(args.lr)},
+            {"height_map_sqrt": "height", "rhos": "sched",
+             "sigmas": "sched"}))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def update(params, opt_state, key, batch):
+        loss, g = jax.value_and_grad(step_fn)(params, key, batch)
+        upd, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    key = jax.random.key(args.seed + 1)
+    rng = np.random.RandomState(args.seed + 3)
+    t0 = time.time()
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        idx = rng.randint(0, args.n_train, args.batch)
+        params, opt_state, loss = update(params, opt_state, sub,
+                                         data[jnp.asarray(idx)])
+        if i % 20 == 0:
+            print(f"step {i}/{args.steps} loss {float(loss):.6f} "
+                  f"psnr {-10 * np.log10(max(float(loss), 1e-12)):.2f} dB "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    evaluate(model, solver, params, crops_eval, tag="heldout")
+    with open(WEIGHTS, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(
+            {k: jnp.asarray(v) for k, v in params.items()})))
+    print(f"saved {WEIGHTS} ({os.path.getsize(WEIGHTS) // 1024} KB)")
+
+
+if __name__ == "__main__":
+    main()

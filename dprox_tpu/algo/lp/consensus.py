@@ -55,6 +55,18 @@ from ...linalg.solvers import pcg as batched_pcg
 from .utils import ruiz_equilibration_sparse, scipy_to_device_op
 
 
+def _fetch_global(a):
+    """np.asarray for arrays that may span processes: on a multi-process
+    mesh, sharded states are not host-fetchable directly — allgather the
+    global value (multi-host path, exercised by
+    tests/test_multiprocess.py)."""
+    if jax.process_count() > 1 and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
 class ScenarioLP:
     """Preprocessed scenario family: one shared equilibrated constraint
     matrix, per-scenario bounds stacks.
@@ -457,11 +469,11 @@ class ConsensusLPSolver:
                     rho_ph = max(rho_ph / 2, rho_ph0 * 1e-4)
 
         x, zc, y, xt, u, z = carry
-        x_true = np.asarray(p.d)[None] * np.asarray(x)
+        x_true = np.asarray(p.d)[None] * _fetch_global(x)
         results = {"objective": float(obj), "r_nonanticipativity": float(r_na),
                    "r_primal": float(r_p), "outer_iters": k,
                    "rho_ph_final": rho_ph}
-        return np.asarray(z), x_true, history, results
+        return _fetch_global(z), x_true, history, results
 
     def solve_fused(self, p: ScenarioLP, params: Optional[dict] = None,
                     mesh: Optional[Mesh] = None, axis: str = "scenario",
@@ -563,12 +575,12 @@ class ConsensusLPSolver:
 
         x, zc, y, xt, u, z = carry
         res = np.asarray(res)
-        x_true = np.asarray(p.d)[None] * np.asarray(x)
+        x_true = np.asarray(p.d)[None] * _fetch_global(x)
         results = {"objective": float(res[1]),
                    "r_nonanticipativity": float(res[0]),
                    "r_primal": float(res[2]), "outer_iters": int(k),
                    "rho_ph_final": float(res[3])}
-        return np.asarray(z), x_true, results
+        return _fetch_global(z), x_true, results
 
 
 def solve_consensus_lp(c, A_ub, b_ub, A_eq, b_eq_s, shared_idx,

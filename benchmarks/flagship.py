@@ -40,7 +40,9 @@ def marginal_its(solve, lo, hi, reps=3):
     return (hi - lo) / max(t_hi - t_lo, 1e-9)
 
 
-def measure(key: str, x8: bool, lo=4, hi=12):
+def measure(key, x8: bool, lo=4, hi=12):
+    if callable(key):
+        key = key()
     img = imaging.sample("face")[:, :, :512, :512]
     psf = imaging.point_spread_function(15, 5)
     b = imaging.blurring(img, psf)
@@ -53,10 +55,19 @@ def measure(key: str, x8: bool, lo=4, hi=12):
                                lams=sigmas[:n]), lo, hi)
 
 
+def _bf16_distilled():
+    from dprox_tpu.proxfn.pnp.denoisers import BF16Denoiser, DeepTVDenoiser
+    from dprox_tpu.proxfn.pnp.prior import get_denoiser
+
+    return DeepTVDenoiser(BF16Denoiser(get_denoiser("distilled_color")),
+                          weight=0.5)
+
+
 CONFIGS = {
     "ensemble_tv_x8": ("ensemble_tv", True),
     "res_ffdnet_color_tv": ("res_ffdnet_color_tv", False),
     "distilled_color_tv": ("distilled_color_tv", False),
+    "distilled_color_tv_bf16": (_bf16_distilled, False),
 }
 
 

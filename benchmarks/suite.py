@@ -67,6 +67,19 @@ def main():
         lambda n: solver.solve(x0=b, max_iter=n, rhos=rhos[:n],
                                lams=sigmas[:n]), lo=8, hi=48)
 
+    # PnP flagship: the SAME config whose PSNR the README advertises
+    # (distilled single-net student of the x8 ensemble; VERDICT r2 #1)
+    from dprox_tpu.proxfn.pnp.hub import find_weights
+    flagship = ("distilled_color_tv"
+                if find_weights("distilled_ffdnet_color.msgpack")
+                else "res_ffdnet_color_tv")
+    solver = dp.compile([dp.sum_squares(dp.conv(x, psf) - b),
+                         dp.deep_prior(x, flagship)], "admm")
+    rhos_f, sig_f = dp.log_descent(80, 30, 48)
+    results[f"pnp_flagship[{flagship}]"] = marginal_its(
+        lambda n: solver.solve(x0=b, max_iter=n, rhos=rhos_f[:n],
+                               lams=sig_f[:n]), lo=8, hi=48)
+
     # CSMRI fused k-space prox (complex state)
     s = csmri.generate_sample(size=256, num_lines=60)
     xm = dp.Variable()

@@ -234,3 +234,39 @@ def test_deep_prior_prox_sigma_gradient():
 
     g = float(jax.grad(loss)(jnp.float32(0.1)))
     assert np.isfinite(g) and abs(g) > 0
+
+
+def test_distilled_flagship_beats_predistillation_fusion():
+    """Golden for the r3 flagship prior: the single-net student distilled
+    from the x8 two-net ensemble (weights/distilled_ffdnet_color.msgpack,
+    scripts/distill_prior.py) beats the pre-distillation single-net
+    fusion on held-out hopper deconv at identical cost. CPU-sized pin
+    (256² crop; the 512² v5e numbers — 35.33 dB at 289.5 its/s vs 34.98
+    — live in weights/README.md / benchmarks/flagship.py)."""
+    import os
+
+    import matplotlib
+    from PIL import Image
+
+    path = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                        "sample_data", "grace_hopper.jpg")
+    img = np.asarray(Image.open(path), np.float32) / 255.0
+    h, w = img.shape[:2]
+    img = img[(h - 256) // 2:(h + 256) // 2,
+              (w - 256) // 2:(w + 256) // 2].transpose(2, 0, 1)[None]
+    psf = imaging.point_spread_function(15, 5)
+    b = imaging.blurring(jnp.asarray(img), psf)
+
+    def solve(prior):
+        x = dp.Variable()
+        solver = dp.compile([dp.sum_squares(dp.conv(x, psf) - b),
+                             dp.deep_prior(x, prior)], "admm")
+        rhos, sigmas = dp.log_descent(80, 25, 24)
+        out = solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=24)
+        return metrics.psnr(np.asarray(out), img)
+
+    student = solve("distilled_color_tv")
+    assert student == pytest.approx(33.57, abs=0.15), student
+    baseline = solve("res_ffdnet_color_tv")
+    assert baseline == pytest.approx(33.27, abs=0.15), baseline
+    assert student > baseline, (student, baseline)

@@ -23,15 +23,16 @@ def main():
 
     x = dp.Variable()
     data_term = dp.sum_squares(dp.conv(x, psf) - b)
-    # strongest offline prior: the shipped residual FFDNet fused with TV
-    # (weights/README.md); falls back to the reference's ffdnet_color
-    # when its pretrained weights are cached locally
+    # flagship offline prior: the distilled ensemble student fused with
+    # TV (weights/README.md, 35.33 dB held-out hopper at one net call
+    # per prox); falls back to the reference's ffdnet_color when its
+    # pretrained weights are cached locally
     denoiser = ("ffdnet_color" if find_weights("ffdnet_color.pth")
-                else "res_ffdnet_color_tv")
+                else "distilled_color_tv")
     reg_term = dp.deep_prior(x, denoiser=denoiser)
     prob = dp.Problem(data_term + reg_term)
 
-    rhos, sigmas = dp.log_descent(80, 30, 24)
+    rhos, sigmas = dp.log_descent(80, 25, 24)
     out = prob.solve(method="admm", x0=b, rhos=rhos, lams=sigmas, max_iter=24)
 
     print(f"prior={denoiser}")

@@ -98,8 +98,8 @@ def deq_psnr(deq, sample, params):
     p = dict(params)
     p.update(sample["params"])
     out = deq.solve(x0=np.real(sample["x0"]).astype(np.float32),
-                    rhos=0.3, lams=0.05, params=p)
-    return metrics.psnr(np.real(np.asarray(out)), sample["gt"])
+                    rhos=0.3, lams=0.05, params=p, real_output=True)
+    return metrics.psnr(np.asarray(out), sample["gt"])
 
 
 def evaluate(deq, params, samples, tag=""):
@@ -155,14 +155,20 @@ def main():
         {k: label[k] for k in params})
     opt_state = tx.init(params)
 
+    # complex k-space measurements cross the jit boundary as {re, im}
+    # pairs (complex host<->device transfers are unimplemented on axon)
+    from dprox_tpu.algo.base import decode_complex, encode_complex
+
     @jax.jit
-    def update(params, opt_state, x0, y, mask, gt):
+    def update(params, opt_state, x0, data_enc, gt):
+        data = decode_complex(data_enc)
+
         def loss_fn(p):
             pp = dict(p)
-            pp["y"] = y
-            pp["mask"] = mask
-            out = deq.solve(x0=x0, rhos=0.3, lams=0.05, params=pp)
-            return jnp.mean((jnp.real(out) - gt) ** 2)
+            pp.update(data)
+            out = deq.solve(x0=x0, rhos=0.3, lams=0.05, params=pp,
+                            jit=False, real_output=True)
+            return jnp.mean((out - gt) ** 2)
 
         loss, g = jax.value_and_grad(loss_fn)(params)
         # drop gradient components that leaked into data keys
@@ -177,7 +183,8 @@ def main():
         params, opt_state, loss = update(
             params, opt_state,
             jnp.asarray(np.real(s["x0"]), jnp.float32),
-            s["params"]["y"], s["params"]["mask"],
+            encode_complex({"y": s["params"]["y"],
+                            "mask": s["params"]["mask"]}),
             jnp.asarray(s["gt"], jnp.float32))
         if step % 25 == 0:
             print(f"step {step}/{args.steps} loss {float(loss):.5f} "

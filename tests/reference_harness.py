@@ -14,6 +14,16 @@ REFERENCE_PATH = "/root/reference"
 
 
 def _stub(name, **attrs):
+    # Never shadow a genuinely-installed package: a bare stub in
+    # sys.modules (no __file__) breaks later real imports in OTHER test
+    # files (e.g. matplotlib's grace_hopper sample in test_pnp.py).
+    if not attrs:
+        import importlib.util
+        try:
+            if importlib.util.find_spec(name) is not None:
+                return sys.modules.get(name)
+        except (ImportError, ValueError):
+            pass
     m = types.ModuleType(name)
     m.__path__ = []
     for k, v in attrs.items():

@@ -4,6 +4,7 @@ from .doe_model import (
     RGBCollimator,
     FresnelPropagator,
     build_doe_model,
+    build_baseline_height_map_sqrt,
     build_baseline_profile,
     img_psf_conv,
     area_downsampling,

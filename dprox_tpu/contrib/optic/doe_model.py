@@ -200,12 +200,20 @@ def build_doe_model(config: DOEModelConfig = DOEModelConfig()) -> RGBCollimator:
                          wave_resolution=config.wave_resolution)
 
 
-def build_baseline_profile(model: RGBCollimator) -> jnp.ndarray:
-    """Fresnel-lens baseline phase profile (reference: doe_model.py:191-209)."""
+def build_baseline_height_map_sqrt(model: RGBCollimator) -> np.ndarray:
+    """sqrt height map of the Fresnel-lens baseline, as REAL host-side
+    numpy — TPU-safe input for a jitted ``get_psf`` (eager complex ops
+    are unimplemented on the axon backend; form exp(i*phi) in-graph)."""
     hm = model.height_map
     k = 2 * np.pi / np.asarray(model.wave_lengths)[1]
     fresnel_phase = -k * ((model.xx**2 + model.yy**2)[None, None]
                           / (2 * model.sensor_distance))
     fresnel_phase = np.mod(fresnel_phase, 2 * np.pi)
     height_map = hm.phase_to_height_map(fresnel_phase, 1)
-    return hm.get_phase_profile(jnp.sqrt(jnp.asarray(height_map, jnp.float32)))
+    return np.sqrt(np.asarray(height_map, np.float32))
+
+
+def build_baseline_profile(model: RGBCollimator) -> jnp.ndarray:
+    """Fresnel-lens baseline phase profile (reference: doe_model.py:191-209)."""
+    return model.height_map.get_phase_profile(
+        jnp.asarray(build_baseline_height_map_sqrt(model)))

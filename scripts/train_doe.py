@@ -31,7 +31,8 @@ import optax
 from flax import serialization
 
 import dprox_tpu as dp
-from dprox_tpu.contrib.optic import (DOEModelConfig, build_baseline_profile,
+from dprox_tpu.contrib.optic import (DOEModelConfig,
+                                     build_baseline_height_map_sqrt,
                                      build_doe_model, img_psf_conv)
 from dprox_tpu.utils import metrics
 
@@ -95,33 +96,37 @@ def hand_schedule(n=MAX_ITER):
     return rhos, sigmas
 
 
-def reconstruct(model, solver, gt, height_map_sqrt=None, phase_profile=None,
-                rhos=None, sigmas=None, key=0):
-    """Simulate measurement through the given optic and reconstruct."""
-    if phase_profile is not None:
-        psf = model.get_psf(phase_profile=phase_profile)
-    else:
+def make_reconstruct(model, solver):
+    """One jitted measure-and-reconstruct: the whole optic (complex field
+    propagation) stays in-graph — eager complex ops are unimplemented on
+    the axon TPU backend. Both the co-designed DOE and the Fresnel-lens
+    baseline enter through a real height_map_sqrt."""
+
+    @jax.jit
+    def recon(height_map_sqrt, gt, rhos, sigmas, key):
         psf = model.get_psf({"height_map_sqrt": height_map_sqrt})
-    inp = img_psf_conv(gt, psf, circular=True)
-    inp = inp + SIGMA * jax.random.normal(jax.random.key(key), inp.shape)
-    out = solver.solve(x0=inp, rhos=rhos, lams=sigmas, max_iter=MAX_ITER,
-                       params={"psf": psf, "y": inp})
-    return out, inp
+        inp = img_psf_conv(gt, psf, circular=True)
+        inp = inp + SIGMA * jax.random.normal(key, inp.shape)
+        out = solver.solve(x0=inp, rhos=rhos, lams=sigmas,
+                           max_iter=MAX_ITER, params={"psf": psf, "y": inp})
+        return out
+
+    return recon
 
 
 def evaluate(model, solver, params, crops, tag=""):
     """Co-designed vs fixed Fresnel lens, same solver family."""
     rhos0, sigmas0 = hand_schedule()
-    fresnel = build_baseline_profile(model)
+    fresnel_hms = jnp.asarray(build_baseline_height_map_sqrt(model))
+    recon = make_reconstruct(model, solver)
     gains = []
     for i, gt in enumerate(crops):
         gt = jnp.asarray(gt)[None]
-        out_c, _ = reconstruct(model, solver, gt,
-                               height_map_sqrt=params["height_map_sqrt"],
-                               rhos=params["rhos"], sigmas=params["sigmas"],
-                               key=100 + i)
-        out_f, _ = reconstruct(model, solver, gt, phase_profile=fresnel,
-                               rhos=rhos0, sigmas=sigmas0, key=100 + i)
+        out_c = recon(params["height_map_sqrt"], gt,
+                      params["rhos"], params["sigmas"],
+                      jax.random.key(100 + i))
+        out_f = recon(fresnel_hms, gt, rhos0, sigmas0,
+                      jax.random.key(100 + i))
         pc = metrics.psnr(np.clip(np.asarray(out_c), 0, 1), np.asarray(gt))
         pf = metrics.psnr(np.clip(np.asarray(out_f), 0, 1), np.asarray(gt))
         gains.append(pc - pf)

@@ -99,6 +99,54 @@ def test_deq_reconstructs():
     assert psnr > zero_filled + 1.0, (psnr, zero_filled)
 
 
+# (num_lines, sigma_n, expected trained-DEQ PSNR, PnP grid golden of the
+#  same cell) — pinned from the r3 task-scale training run
+# (scripts/train_deq_csmri.py: 600 steps on TPU v5e, heldout mean gain
+# +4.51 dB over noise-matched PnP; CPU re-eval +4.34). The reference's
+# counterpart grid is tests/paper/test_csmri.py:197-222 (DEQ-UNet).
+DEQ_GRID = [
+    (50, 0.0, 31.68, 29.53),
+    (40, 0.05, 27.37, 22.31),
+]
+
+
+@pytest.mark.parametrize("num_lines,sigma,expected,pnp_golden", DEQ_GRID)
+def test_trained_deq_grid(num_lines, sigma, expected, pnp_golden):
+    """Task-scale trained DEQ (weights/deq_csmri.msgpack): the prior's
+    denoiser finetuned through the equilibrium plus learned global
+    (rho, lam) multipliers. Must beat the noise-adaptive PnP golden of
+    the SAME grid cell at the SAME 24-iteration inference budget."""
+    import os
+
+    from flax import serialization
+
+    from dprox_tpu.proxfn.pnp.prior import get_denoiser
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "weights",
+                        "deq_csmri.msgpack")
+    den = get_denoiser("res_ffdnet")
+    x = dp.Variable()
+    y = dp.Placeholder("y")
+    mask = dp.Placeholder("mask", batch=False)
+    reg = dp.deep_prior(x, den, sqrt=True, param_key="deq_prior")
+    solver = dp.compile(dp.csmri(x, mask, y) + reg, method="admm")
+    deq = dp.specialize(solver, method="deq", learned_params=True,
+                        f_thres=24, b_thres=16)
+    params = {"deq_r": np.float32(1.0), "deq_l": np.float32(1.0),
+              "deq_prior": den.params}
+    with open(path, "rb") as f:
+        params = serialization.from_bytes(params, f.read())
+
+    s = csmri.generate_sample(size=128, num_lines=num_lines, sigma=sigma)
+    p = dict(params)
+    p.update(s["params"])
+    out = deq.solve(x0=np.real(s["x0"]).astype(np.float32), rhos=0.3,
+                    lams=0.05, params=p, real_output=True)
+    psnr = metrics.psnr(np.asarray(out), s["gt"])
+    assert psnr == pytest.approx(expected, abs=0.15), psnr
+    assert psnr > pnp_golden, (psnr, pnp_golden)
+
+
 def test_more_measurements_help():
     # sanity on the physics: more radial lines -> better reconstruction
     lo = _solve_pnp(csmri.generate_sample(size=128, num_lines=20))

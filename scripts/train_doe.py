@@ -164,46 +164,74 @@ def main():
     data = jnp.asarray(natural_crops(args.n_train, PATCH, 3, seed=args.seed)
                        .transpose(0, 3, 1, 2))
 
-    def step_fn(params, key, batch):
-        psf = model.get_psf({"height_map_sqrt": params["height_map_sqrt"]})
+    # Schedules live in LOG space: the first run (flat parameterization,
+    # sched lr 5e-3) climbed 18.4 -> 26.6 dB by step 100, then a sigma
+    # crossed toward zero/negative and the whole run blew up to ~12 dB
+    # with no recovery. exp() keeps rho/sigma positive by construction
+    # and makes the step size proportional (a log-space move is a
+    # relative move).
+    tparams = {"height_map_sqrt": params["height_map_sqrt"],
+               "log_rhos": jnp.log(rhos0), "log_sigmas": jnp.log(sigmas0)}
+
+    def step_fn(tp, key, batch):
+        psf = model.get_psf({"height_map_sqrt": tp["height_map_sqrt"]})
         inp = img_psf_conv(batch, psf, circular=True)
         inp = inp + SIGMA * jax.random.normal(key, inp.shape)
-        out = solver.solve(x0=inp, rhos=params["rhos"],
-                           lams=params["sigmas"], max_iter=MAX_ITER,
+        out = solver.solve(x0=inp, rhos=jnp.exp(tp["log_rhos"]),
+                           lams=jnp.exp(tp["log_sigmas"]),
+                           max_iter=MAX_ITER,
                            params={"psf": psf, "y": inp})
         return jnp.mean((out - batch) ** 2)
 
     # per-group lrs: the height map's phase wraps every ~1um, so large
     # steps destroy focus (2 smoke steps at a flat 5e-3 cost -6 dB);
-    # the schedules tolerate much larger relative moves
+    # the schedules tolerate much larger relative moves. Cosine decay
+    # anneals both groups to ~0 by the end of the run.
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.multi_transform(
-            {"height": optax.adam(args.lr_height),
-             "sched": optax.adam(args.lr)},
-            {"height_map_sqrt": "height", "rhos": "sched",
-             "sigmas": "sched"}))
-    opt_state = tx.init(params)
+            {"height": optax.adam(optax.cosine_decay_schedule(
+                args.lr_height, args.steps, alpha=0.02)),
+             "sched": optax.adam(optax.cosine_decay_schedule(
+                 args.lr, args.steps, alpha=0.02))},
+            {"height_map_sqrt": "height", "log_rhos": "sched",
+             "log_sigmas": "sched"}))
+    opt_state = tx.init(tparams)
 
     @jax.jit
-    def update(params, opt_state, key, batch):
-        loss, g = jax.value_and_grad(step_fn)(params, key, batch)
+    def update(tp, opt_state, key, batch):
+        loss, g = jax.value_and_grad(step_fn)(tp, key, batch)
         upd, opt_state = tx.update(g, opt_state)
-        return optax.apply_updates(params, upd), opt_state, loss
+        return optax.apply_updates(tp, upd), opt_state, loss
 
     key = jax.random.key(args.seed + 1)
     rng = np.random.RandomState(args.seed + 3)
     t0 = time.time()
+    # best-iterate tracking: update() returns the loss at its INPUT
+    # params, so the candidate to keep is the PRE-update pytree. EMA of
+    # the loss smooths single-batch noise.
+    best = (np.inf, tparams)
+    ema = None
     for i in range(args.steps):
         key, sub = jax.random.split(key)
         idx = rng.randint(0, args.n_train, args.batch)
-        params, opt_state, loss = update(params, opt_state, sub,
-                                         data[jnp.asarray(idx)])
+        prev = tparams
+        tparams, opt_state, loss = update(tparams, opt_state, sub,
+                                          data[jnp.asarray(idx)])
+        loss = float(loss)
+        ema = loss if ema is None else 0.8 * ema + 0.2 * loss
+        if ema < best[0]:
+            best = (ema, prev)
         if i % 20 == 0:
-            print(f"step {i}/{args.steps} loss {float(loss):.6f} "
-                  f"psnr {-10 * np.log10(max(float(loss), 1e-12)):.2f} dB "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+            print(f"step {i}/{args.steps} loss {loss:.6f} "
+                  f"psnr {-10 * np.log10(max(loss, 1e-12)):.2f} dB "
+                  f"best-ema {best[0]:.6f} ({time.time() - t0:.0f}s)",
+                  flush=True)
 
+    tp = best[1]
+    params = {"height_map_sqrt": tp["height_map_sqrt"],
+              "rhos": jnp.exp(tp["log_rhos"]),
+              "sigmas": jnp.exp(tp["log_sigmas"])}
     evaluate(model, solver, params, crops_eval, tag="heldout")
     with open(WEIGHTS, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(

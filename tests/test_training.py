@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 import dprox_tpu as dp
 from dprox_tpu.algo.special import UnrolledSolver, train_supervised
@@ -112,3 +113,44 @@ def test_derain_joint_training_step():
     for name in ("deg_op", "dgu", "rhos"):
         total = sum(float(jnp.abs(t).sum()) for t in jax.tree.leaves(g[name]))
         assert np.isfinite(total) and total > 0, name
+
+
+# (held-out hopper crop index, rainy PSNR, derained PSNR) pinned from
+# scripts/train_derain.py: 2000 TPU steps of joint training — unrolled
+# 7-iteration PGD with the DGUNet proximal network and the learnable
+# degradation operator on randomized synthetic rain; heldout mean
+# 22.96 -> 31.37 dB, CPU re-eval identical to 0.01 dB. Reference
+# counterpart: tests/problem/test_deraining.py:31-33 (35.92 dB with
+# HF-pretrained Rain100H weights — unavailable offline).
+DERAIN_GOLDEN = [(0, 22.54, 31.01), (4, 21.77, 33.96)]
+
+
+@pytest.mark.parametrize("crop_idx,rainy_psnr,expected", DERAIN_GOLDEN)
+def test_trained_derain_golden(crop_idx, rainy_psnr, expected):
+    """The shipped jointly-trained derain pipeline
+    (weights/derain_joint.msgpack) must restore held-out rainy crops to
+    the pinned PSNR (>= +8 dB over the rainy input on these crops)."""
+    import os
+    import sys
+
+    from flax import serialization
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    import train_derain as T
+
+    solver, params = T.build()
+    path = os.path.join(os.path.dirname(__file__), "..", "weights",
+                        "derain_joint.msgpack")
+    with open(path, "rb") as f:
+        params = serialization.from_bytes(params, f.read())
+
+    gt = jnp.asarray(T.hopper_crops()[crop_idx])[None]
+    rainy = T.synthetic_rain(gt, jax.random.key(500 + crop_idx))
+    out = T.solve(solver, params, rainy)
+    p_in = metrics.psnr(np.asarray(rainy), np.asarray(gt))
+    p_out = metrics.psnr(np.clip(np.asarray(out), 0, 1), np.asarray(gt))
+    assert p_in == pytest.approx(rainy_psnr, abs=0.1), p_in
+    assert p_out == pytest.approx(expected, abs=0.15), p_out
+    assert p_out - p_in >= 8.0, (p_out, p_in)

@@ -60,6 +60,44 @@ def main(train_steps: int = 5):
     out = deq.solve(x0=x0, rhos=0.5, lams=0.02, params={**params, **s["params"]})
     print(f"DEQ (learned) PSNR: {metrics.psnr(np.real(np.asarray(out)), s['gt']):.2f} dB")
 
+    shipped_weights_demo()
+
+
+def shipped_weights_demo():
+    """The task-scale trained DEQ (weights/deq_csmri.msgpack,
+    scripts/train_deq_csmri.py): prior finetuned through the equilibrium;
+    beats noise-matched PnP at the same 24-iteration budget (goldens:
+    tests/paper/test_csmri_grid.py::test_trained_deq_grid)."""
+    from flax import serialization
+
+    from dprox_tpu.proxfn.pnp.prior import get_denoiser
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "weights",
+                        "deq_csmri.msgpack")
+    if not os.path.exists(path):
+        print("(no shipped deq_csmri.msgpack — skipping trained-DEQ demo)")
+        return
+    den = get_denoiser("res_ffdnet")
+    x = dp.Variable()
+    y = dp.Placeholder("y")
+    mask = dp.Placeholder("mask", batch=False)
+    reg = dp.deep_prior(x, den, sqrt=True, param_key="deq_prior")
+    solver = dp.compile(dp.csmri(x, mask, y) + reg, method="admm")
+    deq = dp.specialize(solver, method="deq", learned_params=True,
+                        f_thres=24, b_thres=16)
+    params = {"deq_r": np.float32(1.0), "deq_l": np.float32(1.0),
+              "deq_prior": den.params}
+    with open(path, "rb") as f:
+        params = serialization.from_bytes(params, f.read())
+
+    s = csmri.generate_sample(size=128, num_lines=40, sigma=0.05)
+    out = deq.solve(x0=np.real(s["x0"]).astype(np.float32), rhos=0.3,
+                    lams=0.05, params={**params, **s["params"]},
+                    real_output=True)
+    print(f"trained DEQ (shipped weights, 40 lines, sigma 0.05): "
+          f"{metrics.psnr(np.asarray(out), s['gt']):.2f} dB "
+          f"(zero-filled {metrics.psnr(np.real(s['x0']), s['gt']):.2f})")
+
 
 if __name__ == "__main__":
     main()

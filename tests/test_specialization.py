@@ -94,6 +94,39 @@ class TestDEQ:
         assert out.shape == b.shape
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_deq_jitted_matches_inlined(self):
+        """The jit-cached solve path (encode/decode_complex boundary)
+        must agree with the jit=False inlined path bit-for-bit-ish."""
+        img, b, fns = _small_problem()
+        solver = dp.compile(fns, method="admm")
+        s = DEQSolver(solver, f_thres=12, b_thres=12)
+        out_j = s.solve(x0=b, rhos=0.1, lams=0.05)
+        out_e = s.solve(x0=b, rhos=0.1, lams=0.05, jit=False)
+        np.testing.assert_allclose(np.asarray(out_j), np.asarray(out_e),
+                                   atol=1e-5)
+
+    def test_deq_complex_state_real_view(self):
+        """CSMRI packs a COMPLEX state: the fixed-point engine must run
+        on the real view (axon TPU has no complex linalg.solve / h2d
+        transfers) and still reconstruct."""
+        from dprox_tpu.contrib import csmri
+        from dprox_tpu.utils import metrics
+
+        samp = csmri.generate_sample(size=48, num_lines=24)
+        x = dp.Variable()
+        y = dp.Placeholder("y")
+        mask = dp.Placeholder("mask", batch=False)
+        solver = dp.compile(dp.csmri(x, mask, y)
+                            + dp.deep_prior(x, "tv", sqrt=True), "admm")
+        s = DEQSolver(solver, f_thres=20, b_thres=10)
+        out = s.solve(x0=np.real(samp["x0"]).astype(np.float32), rhos=0.5,
+                      lams=0.02, params=dict(samp["params"]),
+                      real_output=True)
+        assert out.dtype == jnp.float32
+        psnr = metrics.psnr(np.asarray(out), samp["gt"])
+        zf = metrics.psnr(np.real(samp["x0"]), samp["gt"])
+        assert psnr > zf + 1.0, (psnr, zf)
+
     def test_deq_learned_params_gradient(self):
         img, b, fns = _small_problem()
         solver = dp.compile(fns, method="admm")

@@ -73,21 +73,31 @@ def make_samples(n, seed0, phantom_frac=0.25):
     out = []
     for i in range(n):
         gt = None if i < n_ph else crops[i - n_ph]
-        out.append(csmri.generate_sample(
-            SIZE, num_lines=int(rng.choice([30, 40, 50])),
-            sigma=float(rng.choice([0.0, 0.02, 0.05])), seed=seed0 + i,
-            gt=gt))
+        # draw order matters: keep num_lines before sigma so the corpus
+        # is bit-identical to the one the shipped weights trained on
+        nl = int(rng.choice([30, 40, 50]))
+        sn = float(rng.choice([0.0, 0.02, 0.05]))
+        s = csmri.generate_sample(SIZE, num_lines=nl, sigma=sn,
+                                  seed=seed0 + i, gt=gt)
+        s["sigma_n"] = sn
+        out.append(s)
     return out
 
 
 def pnp_psnr(sample, max_iter=BUDGET, prior="res_ffdnet_tv"):
+    """Strongest-PnP baseline: the noise-adaptive schedule of
+    tests/paper/test_csmri_grid.py (NOT the fixed noiseless DPIR
+    schedule — the equal-budget comparison must be against the best
+    tuned PnP this repo ships)."""
     x = dp.Variable()
     y = dp.Placeholder("y")
     mask = dp.Placeholder("mask", batch=False)
     solver = dp.compile(dp.csmri(x, mask, y) + dp.deep_prior(x, prior,
                                                              sqrt=True),
                         method="admm")
-    rhos, sigmas = dp.log_descent(30, 5, max_iter, sigma=0.01)
+    sn = sample.get("sigma_n", 0.0)
+    rhos, sigmas = dp.log_descent(30 + 600 * sn, 5 + 300 * sn, max_iter,
+                                  sigma=0.01)
     out = solver.solve(x0=sample["x0"], rhos=rhos, lams=sigmas,
                        max_iter=max_iter, params=sample["params"],
                        real_output=True)
@@ -136,8 +146,10 @@ def main():
     params = init_params(deq, den)
 
     heldout = make_samples(6, seed0=9100)
-    heldout += [csmri.generate_sample(SIZE, num_lines=l, sigma=s)
-                for l, s in ((50, 0.0), (40, 0.05))]
+    for l, sn in ((50, 0.0), (40, 0.05)):
+        s = csmri.generate_sample(SIZE, num_lines=l, sigma=sn)
+        s["sigma_n"] = sn
+        heldout.append(s)
 
     if args.eval_only:
         with open(WEIGHTS, "rb") as f:

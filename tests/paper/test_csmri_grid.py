@@ -101,9 +101,10 @@ def test_deq_reconstructs():
 
 # (num_lines, sigma_n, expected trained-DEQ PSNR, PnP grid golden of the
 #  same cell) — pinned from the r3 task-scale training run
-# (scripts/train_deq_csmri.py: 600 steps on TPU v5e, heldout mean gain
-# +4.51 dB over noise-matched PnP; CPU re-eval +4.34). The reference's
-# counterpart grid is tests/paper/test_csmri.py:197-222 (DEQ-UNet).
+# (scripts/train_deq_csmri.py: 600 steps on TPU v5e; heldout mean gain
+# +3.82 dB — min +0.44 — over the STRONGEST shipped PnP baseline, the
+# noise-adaptive res_ffdnet_tv schedule). The reference's counterpart
+# grid is tests/paper/test_csmri.py:197-222 (DEQ-UNet).
 DEQ_GRID = [
     (50, 0.0, 31.68, 29.53),
     (40, 0.05, 27.37, 22.31),

@@ -190,7 +190,11 @@ def _marginal_its(solve, lo, hi, reps=3):
 # (per-iter cost ~75us vs ~5ms call jitter); re-pinned r3 from the
 # 400-iteration-span sustained measurement (12.9-13.9k, one outlier
 # 27.5k discarded; floor set conservatively).
-R2_FLOORS = {"deconv_fft": 2701.4, "joint_dd_cg": 1929.0,
+# joint_dd_cg's r2 1929 was likewise a 12-iteration span: r3 back-to-
+# back runs on that span gave 2802 then 1722 — +/-30% jitter; the span
+# is now 60 iterations and the floor set below the worst short-span
+# observation until a long-span history accumulates.
+R2_FLOORS = {"deconv_fft": 2701.4, "joint_dd_cg": 1600.0,
              "csmri_fast": 10000.0, "lp_fused_warm_s": 1.38}
 
 
@@ -237,12 +241,13 @@ def bench_paths():
             data + dp.deep_prior(x2, "tv"), "admm",
             linear_solve_config=dp.LinearSolveConfig(max_iters=40))
         init = dp.utils.demosaic_from_mosaiced(b2)
-        rhos_j, sig_j = dp.log_descent(35, 10, 24)
+        rhos_j, sig_j = dp.log_descent(35, 10, 64)
         paths["joint_dd_cg"] = {
             "its_per_sec": round(_marginal_its(
                 lambda n: solver.solve(x0=init, max_iter=n, rhos=rhos_j[:n],
                                        lams=sig_j[:n], params={"b": b2}),
-                4, 16), 1),
+                4, 64), 1),
+            "span": "4-64",
             "r2_floor": R2_FLOORS["joint_dd_cg"]}
     except Exception as e:
         paths["joint_dd_cg"] = {"error": repr(e)}

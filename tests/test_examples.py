@@ -59,3 +59,15 @@ def test_stochastic_energy_planning_smoke(capsys):
     out = capsys.readouterr().out
     assert "consensus capacity plan" in out
     assert "extensive-form optimum" in out
+
+
+def test_shipped_weight_demos(capsys):
+    """The trained-artifact demos appended to the derain / e2e_optics /
+    csmri_deq examples run against the shipped weights (r3)."""
+    load_example("applications/derain.py").shipped_weights_demo()
+    load_example("papers/e2e_optics.py").shipped_weights_demo()
+    load_example("papers/csmri_deq.py").shipped_weights_demo()
+    out = capsys.readouterr().out
+    assert "trained pipeline" in out
+    assert "co-designed" in out
+    assert "trained DEQ" in out

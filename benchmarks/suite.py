@@ -105,11 +105,13 @@ def main():
     solver = dp.compile(data + dp.deep_prior(x2, "tv"), "admm",
                         linear_solve_config=dp.LinearSolveConfig(max_iters=40))
     init = dp.utils.demosaic_from_mosaiced(b2)
-    rhos_j, sig_j = dp.log_descent(35, 10, 24)
+    # 60-iteration span: the 12-iteration span showed +/-30% relay
+    # jitter (see bench.py R2_FLOORS note)
+    rhos_j, sig_j = dp.log_descent(35, 10, 64)
     results["joint_dd_cg"] = marginal_its(
         lambda n: solver.solve(x0=init, max_iter=n, rhos=rhos_j[:n],
                                lams=sig_j[:n], params={"b": b2}),
-        lo=4, hi=16)
+        lo=4, hi=64)
 
     print(json.dumps({
         "metric": "solver_paths_iterations_per_sec",

@@ -145,6 +145,8 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--lr-height", type=float, default=5e-4)
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="warm-start from the shipped weights")
     ap.add_argument("--prior", type=str, default=PRIOR)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -170,8 +172,13 @@ def main():
     # with no recovery. exp() keeps rho/sigma positive by construction
     # and makes the step size proportional (a log-space move is a
     # relative move).
-    tparams = {"height_map_sqrt": params["height_map_sqrt"],
-               "log_rhos": jnp.log(rhos0), "log_sigmas": jnp.log(sigmas0)}
+    if args.resume:
+        with open(WEIGHTS, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        print(f"resumed from {WEIGHTS}", flush=True)
+    tparams = {"height_map_sqrt": jnp.asarray(params["height_map_sqrt"]),
+               "log_rhos": jnp.log(jnp.asarray(params["rhos"])),
+               "log_sigmas": jnp.log(jnp.asarray(params["sigmas"]))}
 
     def step_fn(tp, key, batch):
         psf = model.get_psf({"height_map_sqrt": tp["height_map_sqrt"]})

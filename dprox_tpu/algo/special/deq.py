@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...utils.misc import to_jax_array
 from ..base import Algorithm
 from .fixed_point import FIXED_POINT_SOLVERS, anderson
 
@@ -81,12 +80,10 @@ class DEQSolver:
               jit: bool = True, real_output: bool = False, **kwargs):
         from ..base import encode_complex
 
-        if isinstance(x0, np.ndarray) and np.iscomplexobj(x0):
-            # complex inputs stay host-side numpy until the jit boundary
-            # (complex host<->device transfers are unimplemented on axon)
-            x0 = Algorithm._prepare_x0(x0)
-        else:
-            x0 = to_jax_array(x0, batch=True).astype(jnp.float32)
+        # _prepare_x0 keeps complex numpy host-side until the jit
+        # boundary (complex h2d is unimplemented on axon), preserves
+        # complex64 for complex jax arrays, and float32-casts real input
+        x0 = Algorithm._prepare_x0(x0)
         params = dict(params) if params else {}
         if rhos is None:
             rhos = self.rhos
@@ -102,7 +99,12 @@ class DEQSolver:
             # the call is inlined — nested jit would only leak tracers
             return run(encode_complex(x0), rhos_arr, lam_list,
                        encode_complex(params))
-        key = ("run", real_output)
+        # run() closes over the solver config at trace time, so every
+        # config knob that shapes the traced program must key the cache
+        # (mutating f_thres etc. after a solve would otherwise silently
+        # reuse the stale compiled program)
+        key = (real_output, self.learned_params, self.f_thres,
+               self.b_thres, self.solver_type)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key](encode_complex(x0), rhos_arr, lam_list,

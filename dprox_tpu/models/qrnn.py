@@ -165,10 +165,16 @@ class GRUnet(nn.Module):
     # the shipped checkpoint is grunet_masked_nobn (reference
     # models/qrnn/__init__.py:32), hence bn=False here by default
     bn: bool = False
+    # width multiplier: base=16 matches the reference checkpoint layout;
+    # the in-repo-trained "tiny_grunet" uses base=8 (capacity beyond the
+    # compact nets does not pay on the offline corpus — weights/README
+    # findings 1/10)
+    base: int = 16
 
     @nn.compact
     def __call__(self, x):
-        f = [16, 32, 64, 128, 256]
+        b0 = self.base
+        f = [b0, 2 * b0, 4 * b0, 8 * b0, 16 * b0]
         bn = self.bn
         e1 = BiQRNNConv3D(f[0], bn=bn)(x)
         e2 = QRNNConv3D(f[0], s=(1, 2, 2), bn=bn)(e1, reverse=True)

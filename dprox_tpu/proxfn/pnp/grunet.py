@@ -18,14 +18,24 @@ from .denoisers import Denoiser, TVDenoiser
 
 
 class GRUNetDenoiser(Denoiser):
-    def __init__(self, params=None, ckpt_path: Optional[str] = None):
+    def __init__(self, params=None, ckpt_path: Optional[str] = None,
+                 base: int = 16):
         # unet_qrnn3d.pth is the nobn variant (reference wrapper.py:175
-        # grunet_masked_nobn)
-        self.module = GRUnet(in_ch=2, out_ch=1, use_noise_map=True, bn=False)
+        # grunet_masked_nobn); base=8 is the in-repo-trained tiny variant
+        self.module = GRUnet(in_ch=2, out_ch=1, use_noise_map=True, bn=False,
+                             base=base)
         init = self.module.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 2)))
         if params is None and ckpt_path is not None:
-            params = qrnn_torch_to_flax(load_torch_state_dict(ckpt_path),
-                                        init, prefix_order=GRUNET_FORWARD_ORDER)
+            if str(ckpt_path).endswith(".msgpack"):
+                # in-repo-trained flax checkpoint (scripts/train_hsi_prior.py)
+                from flax import serialization
+
+                with open(ckpt_path, "rb") as f:
+                    params = serialization.from_bytes(init, f.read())
+            else:
+                params = qrnn_torch_to_flax(
+                    load_torch_state_dict(ckpt_path), init,
+                    prefix_order=GRUNET_FORWARD_ORDER)
         super().__init__(params if params is not None else None)
         if self.params is None:
             self.params = init
@@ -50,7 +60,14 @@ class QRNN3DDenoiser(Denoiser):
         init = self.module.init(jax.random.key(0),
                                 jnp.zeros((1, 4, 16, 16, in_ch)))
         if params is None and ckpt_path is not None:
-            params = qrnn_torch_to_flax(load_torch_state_dict(ckpt_path), init)
+            if str(ckpt_path).endswith(".msgpack"):
+                from flax import serialization
+
+                with open(ckpt_path, "rb") as f:
+                    params = serialization.from_bytes(init, f.read())
+            else:
+                params = qrnn_torch_to_flax(load_torch_state_dict(ckpt_path),
+                                            init)
         super().__init__(params if params is not None else None)
         if self.params is None:
             self.params = init
@@ -69,8 +86,9 @@ class QRNN3DDenoiser(Denoiser):
 class GRUNetTVDenoiser(GRUNetDenoiser):
     """(reference: wrapper.py:194-202)"""
 
-    def __init__(self, params=None, ckpt_path: Optional[str] = None):
-        super().__init__(params, ckpt_path)
+    def __init__(self, params=None, ckpt_path: Optional[str] = None,
+                 base: int = 16):
+        super().__init__(params, ckpt_path, base=base)
         self.tv = TVDenoiser()
 
     def denoise(self, x, sigma, params=None):

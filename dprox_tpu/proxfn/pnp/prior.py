@@ -159,6 +159,22 @@ def get_denoiser(kind: str) -> Denoiser:
         from .grunet import GRUNetTVDenoiser
 
         return GRUNetTVDenoiser(ckpt_path=find_weights("unet_qrnn3d.pth"))
+    if kind == "tiny_grunet":
+        # in-repo-trained hyperspectral GRUNet (scripts/train_hsi_prior.py,
+        # synthetic spectralized corpus) — the working 3-D deep prior for
+        # the HSI suite (the reference's dphsir grunet weights are
+        # egress-blocked; see weights/README.md)
+        from .grunet import GRUNetDenoiser
+
+        return GRUNetDenoiser(ckpt_path=find_weights("tiny_grunet.msgpack"),
+                              base=8)
+    if kind == "tiny_grunet_tv":
+        # deep + 3-D TV average, the reference's grunet_tv pattern
+        # (wrapper.py:194-202) on the in-repo-trained net
+        from .grunet import GRUNetTVDenoiser
+
+        return GRUNetTVDenoiser(ckpt_path=find_weights("tiny_grunet.msgpack"),
+                                base=8)
     raise KeyError(f"unknown denoiser '{kind}'")
 
 

@@ -68,7 +68,15 @@ def to_ndarray(x, debatch: bool = False, squeeze: bool = False) -> np.ndarray:
     if isinstance(x, jnp.ndarray):
         out = np.asarray(jax.device_get(x))
     else:
-        out = np.asarray(x, dtype=np.float32)
+        out = np.asarray(x)
+        if np.iscomplexobj(out):
+            # the complex->real boundary must be explicit at the caller
+            # (solve(real_output=True), np.real/np.abs) — a silent
+            # float32 cast here discards the imaginary part
+            raise TypeError(
+                "to_ndarray received a complex array; take .real / "
+                "np.abs (or solve with real_output=True) explicitly")
+        out = out.astype(np.float32, copy=False)
     if debatch:
         out = debatchify(out, squeeze)
     return out

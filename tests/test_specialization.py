@@ -127,6 +127,41 @@ class TestDEQ:
         zf = metrics.psnr(np.real(samp["x0"]), samp["gt"])
         assert psnr > zf + 1.0, (psnr, zf)
 
+    def test_deq_config_mutation_retraces(self):
+        """Mutating a config knob after the first jitted solve must NOT
+        reuse the stale compiled program (ADVICE r3: the jit cache was
+        keyed only on real_output)."""
+        img, b, fns = _small_problem()
+        solver = dp.compile(fns, method="admm")
+        s = DEQSolver(solver, f_thres=4, b_thres=4)
+        out4 = np.asarray(s.solve(x0=b, rhos=0.1, lams=0.05))
+        s.f_thres = 40
+        out40 = np.asarray(s.solve(x0=b, rhos=0.1, lams=0.05))
+        s2 = DEQSolver(solver, f_thres=40, b_thres=4)
+        fresh40 = np.asarray(s2.solve(x0=b, rhos=0.1, lams=0.05))
+        np.testing.assert_allclose(out40, fresh40, atol=1e-6)
+        assert np.max(np.abs(out40 - out4)) > 1e-7  # it actually iterated more
+
+    def test_deq_complex_jax_x0_preserved(self):
+        """A complex *jax* x0 must keep its imaginary part (ADVICE r3:
+        it used to be silently float32-cast)."""
+        from dprox_tpu.contrib import csmri
+
+        samp = csmri.generate_sample(size=48, num_lines=24)
+        x = dp.Variable()
+        y = dp.Placeholder("y")
+        mask = dp.Placeholder("mask", batch=False)
+        solver = dp.compile(dp.csmri(x, mask, y)
+                            + dp.deep_prior(x, "tv", sqrt=True), "admm")
+        s = DEQSolver(solver, f_thres=10, b_thres=5)
+        x0c = samp["x0"]  # complex numpy
+        out_np = s.solve(x0=x0c, rhos=0.5, lams=0.02,
+                         params=dict(samp["params"]), real_output=True)
+        out_jax = s.solve(x0=jnp.asarray(x0c), rhos=0.5, lams=0.02,
+                          params=dict(samp["params"]), real_output=True)
+        np.testing.assert_allclose(np.asarray(out_jax), np.asarray(out_np),
+                                   atol=1e-5)
+
     def test_deq_learned_params_gradient(self):
         img, b, fns = _small_problem()
         solver = dp.compile(fns, method="admm")

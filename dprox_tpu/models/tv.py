@@ -52,8 +52,12 @@ def tv_denoising(y0, lam, iterations: int = 100):
         zv = _clip(zv + (1.0 / alpha) * _dv(x0), lam / 2.0)
         return zh, zv, x0
 
-    zh = jnp.zeros((h, w - 1, b), jnp.float32)
-    zv = jnp.zeros((h - 1, w, b), jnp.float32)
+    # derive the dual inits from y0 (not fresh jnp.zeros constants) so
+    # they inherit y0's varying manual axes under shard_map — a constant
+    # init makes the fori_loop carry type mismatch its output when the
+    # denoiser runs inside a sharded solve (found by the tutorial test)
+    zh = jnp.zeros_like(y0[:, 1:, :])
+    zv = jnp.zeros_like(y0[1:, :, :])
     _, _, x0 = jax.lax.fori_loop(0, iterations, body, (zh, zv, y0))
     return x0
 
@@ -74,8 +78,10 @@ def tv_denoising3d(y0, lam, iterations: int = 100):
         zt = _clip(zt + (1.0 / alpha) * _dt(x0), lam / 2.0)
         return zh, zv, zt, x0
 
-    zh = jnp.zeros((h, w - 1, b), jnp.float32)
-    zv = jnp.zeros((h - 1, w, b), jnp.float32)
-    zt = jnp.zeros((h, w, b - 1), jnp.float32)
+    # zeros_like slices: see tv_denoising — carries must inherit y0's
+    # varying manual axes to run under shard_map
+    zh = jnp.zeros_like(y0[:, 1:, :])
+    zv = jnp.zeros_like(y0[1:, :, :])
+    zt = jnp.zeros_like(y0[:, :, 1:])
     _, _, _, x0 = jax.lax.fori_loop(0, iterations, body, (zh, zv, zt, y0))
     return x0

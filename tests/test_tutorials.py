@@ -1,0 +1,120 @@
+"""Execute every ```python block in docs/TUTORIALS.md (VERDICT r3 next
+#10: the reference ships 7 RUNNABLE notebooks; our tutorial surface must
+be executable too, not 229 lines of untested snippets).
+
+Each block runs verbatim in one shared namespace, except for an explicit
+scale-down substitution table (smaller shapes / fewer iterations /
+offline prior names) — every substitution ASSERTS its pattern exists, so
+the doc and this test stay in lockstep: editing a tutorial snippet in a
+way that breaks the API (or the substitution anchor) fails here.
+"""
+import os
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import dprox_tpu as dp
+from dprox_tpu.utils import imaging
+
+DOC = os.path.join(os.path.dirname(__file__), "..", "docs", "TUTORIALS.md")
+
+
+def _blocks():
+    with open(DOC) as f:
+        text = f.read()
+    return re.findall(r"```python\n(.*?)```", text, re.S)
+
+
+BLOCKS = _blocks()
+
+# index -> [(must-exist pattern, replacement), ...]; keep snippets
+# verbatim except where full scale would be slow/offline-blocked
+SUBS = {
+    0: [('imaging.sample("face")', 'imaging.sample("face")[:, :, :64, :64]'),
+        ('denoiser="ffdnet_color"', 'denoiser="tv"')],
+    2: [("x = linear_solve(A_fn, b,", "x_sol = linear_solve(A_fn, b_vec,")],
+    4: [("epochs=10,", "epochs=1,"),
+        ('savedir="ckpts"', "savedir=str(tmp_path)")],
+    5: [("csmri.sample()", "csmri.sample(size=64)"),
+        ('"unet"', '"tv"')],
+    6: [("pretrain_steps=10,", "pretrain_steps=1,"),
+        ("residual_balance=True)", "residual_balance=True, verbose=False,"
+         " max_iters=400)")],
+    7: [("n_periods=128, n_tech=8, n_scenarios=8",
+         "n_periods=16, n_tech=4, n_scenarios=8"),
+        ("pretrain_steps=10)", "pretrain_steps=1, verbose=False)")],
+    8: [("max_iter=24,", "max_iter=6,")],
+    9: [("max_iter=24)", "max_iter=4)"),
+        ("max_iter=50)", "max_iter=5)")],
+    11: [("max_iter=200,", "max_iter=40,"),
+         ("max_iter=300,", "max_iter=60,")],
+    12: [("epochs=3, batch_size=16", "epochs=1, batch_size=4, warmup=4")],
+}
+
+# one namespace shared across blocks, like cells of a notebook
+NS = {}
+
+
+def _preamble(tmp_path):
+    """Symbols the doc assumes from surrounding prose."""
+    img = imaging.sample("face")[:, :, :64, :64]
+    psf = imaging.point_spread_function(15, 5)
+    b = imaging.blurring(img, psf)
+    rng = np.random.RandomState(0)
+    theta = jnp.asarray(rng.randn(8, 8), jnp.float32) * 0.3
+    from dprox_tpu.algo.special.rl import AutoTuneSolver
+
+    NS.update(
+        dp=dp, jnp=jnp, np=np, imaging=imaging,
+        v=b, psf_value=np.asarray(psf),
+        theta=theta, b_vec=jnp.asarray(rng.randn(8), jnp.float32),
+        dataset=[{"b": b, "gt": img}],
+        eval_fn=None,
+        tmp_path=tmp_path,
+        batched_x0=jnp.tile(b, (8, 1, 1, 1)),
+        big_image=jnp.asarray(rng.rand(1, 1, 256, 128), jnp.float32),
+        local_prox=lambda v, rho, args: (v + args) / (1.0 + rho),
+        z0=jnp.zeros((4,)),
+        block_args=jnp.asarray(rng.rand(8, 4), jnp.float32),
+        x0=b,
+        AutoTuneSolver=AutoTuneSolver,
+    )
+
+
+def test_tutorial_blocks_execute(tmp_path):
+    """Run every block in order (cells of one notebook); aggregate
+    failures so one broken snippet doesn't hide the rest."""
+    _preamble(tmp_path)
+    failures = []
+    for i, src in enumerate(BLOCKS):
+        for pat, rep in SUBS.get(i, []):
+            assert pat in src, (
+                f"tutorial block {i} changed: substitution anchor {pat!r} "
+                "missing — update docs/TUTORIALS.md and SUBS together")
+            src = src.replace(pat, rep)
+        if i == 9:
+            # blocks after the CSMRI one refer to the DECONV solver from
+            # the Primitives block (block 5 rebinds the name)
+            NS["solver"] = NS["solver_deconv"]
+        if i == 12:
+            # the RL block's training dataset carries (x0, gt) pairs
+            NS["dataset"] = [{"x0": NS["x0"],
+                              "gt": imaging.sample("face")[:, :, :64, :64]}] * 3
+        try:
+            exec(compile(src, f"<tutorials.md block {i}>", "exec"), NS)
+        except Exception as e:  # noqa: BLE001 — aggregated and re-raised
+            import traceback
+
+            failures.append((i, traceback.format_exc(limit=4)))
+        finally:
+            if i == 3:
+                NS["solver_deconv"] = NS["solver"]
+            if i == 6:
+                # the LP tutorial enables x64 globally; undo
+                jax.config.update("jax_enable_x64", False)
+    assert not failures, "\n\n".join(
+        f"--- tutorial block {i} ---\n{tb}" for i, tb in failures)

@@ -69,6 +69,17 @@ def get_denoiser(kind: str) -> Denoiser:
         from .denoisers import DeepTVDenoiser
 
         return DeepTVDenoiser(get_denoiser("res_ffdnet"), weight=0.4)
+    if kind == "distilled_gray":
+        # single gray student distilled from the x8 res_ffdnet teacher
+        # (scripts/distill_prior.py --channels 1) — x8-quality at one
+        # call per prox, the gray counterpart of distilled_color
+        return FFDNetDenoiser(
+            ckpt_path=find_weights("distilled_ffdnet_gray.msgpack"),
+            nc=64, nb=10, residual=True)
+    if kind == "distilled_gray_tv":
+        from .denoisers import DeepTVDenoiser
+
+        return DeepTVDenoiser(get_denoiser("distilled_gray"), weight=0.4)
     if kind == "res_ffdnet_color":
         # residual color FFDNet (identity at sigma->0), trained offline on
         # the mixed natural/synthetic corpus with colored-noise

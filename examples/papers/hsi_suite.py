@@ -26,8 +26,16 @@ def synthetic_hsi(bands=8, size=64):
     return np.einsum("bc,chw->bhw", ws, rgb)[None].astype(np.float32), ws
 
 
+PRIOR = "tv3d"  # or a registry key: "tiny_grunet", "tiny_grunet_tv", ...
+
+
 def prior(x):
-    return dp.deep_prior(x, TVDenoiser(iter_num=10, use_3dtv=True), sqrt=True)
+    if PRIOR == "tv3d":
+        return dp.deep_prior(x, TVDenoiser(iter_num=10, use_3dtv=True),
+                             sqrt=True)
+    # trained 3-D deep prior (reference runs 'grunet' here,
+    # hsi_deblur.py:30; the in-repo-trained key is 'tiny_grunet')
+    return dp.deep_prior(x, PRIOR, sqrt=True)
 
 
 def run(name, data_term, x0, gt, reg, iters=24):
@@ -48,6 +56,14 @@ def main():
     gt = jnp.asarray(cube)
     B = cube.shape[1]
     rng = np.random.RandomState(0)
+
+    # --- deblur (Gaussian PSF per band, FFT x-update; reference
+    #     hsi_deblur.py) ---
+    psf_d = imaging.point_spread_function(9, 2)
+    b_db = imaging.blurring(gt, psf_d)
+    x = dp.Variable()
+    run("deblur", dp.sum_squares(dp.conv(x, psf_d) - b_db), b_db, gt,
+        prior(x))
 
     # --- SISR (x2, DPIR fused prox) ---
     psf = imaging.point_spread_function(7, 2)
@@ -83,4 +99,7 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        PRIOR = sys.argv[1]
+    print(f"prior: {PRIOR}")
     main()

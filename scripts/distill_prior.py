@@ -39,7 +39,12 @@ from dprox_tpu.proxfn.pnp.prior import get_denoiser
 from train_tiny_denoiser import build_corpus, colored_noise
 
 
-def build_teacher():
+def build_teacher(channels=3):
+    if channels == 1:
+        # strongest gray teacher: x8 self-ensemble of the residual gray
+        # net (there is no second gray net to ensemble — capacity is
+        # corpus-saturated in gray, weights/README finding 6)
+        return Augment(get_denoiser("res_ffdnet"))
     ens = EnsembleDenoiser([get_denoiser("res_ffdnet_color"),
                             get_denoiser("tiny_drunet_color")],
                            weights=[0.6, 0.4])
@@ -86,10 +91,11 @@ def make_cache(teacher, corpus, n, size, batch, sigma_lo, sigma_hi, seed):
 
 
 def train_student(cache, nc, nb, steps, batch, lr, w_gt, seed, init_path,
-                  chunk=100):
-    model = FFDNet(in_nc=3, out_nc=3, nc=nc, nb=nb, residual=True)
-    params = model.init(jax.random.key(seed), jnp.zeros((1, 64, 64, 3)),
-                        jnp.zeros(()))
+                  chunk=100, channels=3):
+    model = FFDNet(in_nc=channels, out_nc=channels, nc=nc, nb=nb,
+                   residual=True)
+    params = model.init(jax.random.key(seed),
+                        jnp.zeros((1, 64, 64, channels)), jnp.zeros(()))
     if init_path and os.path.exists(init_path):
         with open(init_path, "rb") as f:
             params = serialization.from_bytes(params, f.read())
@@ -149,19 +155,26 @@ def main():
     ap.add_argument("--sigma-lo", type=float, default=0.01)
     ap.add_argument("--sigma-hi", type=float, default=0.35)
     ap.add_argument("--n-images", type=int, default=2048)
+    ap.add_argument("--channels", type=int, default=3, choices=(1, 3))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
-    corpus = build_corpus("mixed", args.n_images, args.size, 3, args.seed)
-    teacher = build_teacher()
+    if args.channels == 1 and args.nc == 96:
+        args.nc = 64  # match the gray teacher's capacity (res_ffdnet_gray)
+
+    corpus = build_corpus("mixed", args.n_images, args.size, args.channels,
+                          args.seed)
+    teacher = build_teacher(args.channels)
     cache = make_cache(teacher, corpus, args.cache_n, args.size, args.batch,
                        args.sigma_lo, args.sigma_hi, args.seed)
+    init_name = ("res_ffdnet_gray.msgpack" if args.channels == 1
+                 else "res_ffdnet_color.msgpack")
     init_path = os.path.join(os.path.dirname(__file__), "..", "weights",
-                             "res_ffdnet_color.msgpack")
+                             init_name)
     model, params = train_student(cache, args.nc, args.nb, args.steps,
                                   args.batch, args.lr, args.w_gt, args.seed,
-                                  init_path)
+                                  init_path, channels=args.channels)
 
     # raw-denoiser sanity at sigma=0.1 vs the teacher on fresh data
     rng = np.random.RandomState(12345)
@@ -179,9 +192,10 @@ def main():
           f"teacher->clean {psnr(t, clean):.2f} dB, "
           f"student->teacher {psnr(den, t):.2f} dB")
 
+    out_name = ("distilled_ffdnet_gray.msgpack" if args.channels == 1
+                else "distilled_ffdnet_color.msgpack")
     out_path = args.out or os.path.join(os.path.dirname(__file__), "..",
-                                        "weights",
-                                        "distilled_ffdnet_color.msgpack")
+                                        "weights", out_name)
     with open(out_path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(params)))
     print(f"saved {out_path} ({os.path.getsize(out_path) // 1024} KB)")

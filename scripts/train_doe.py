@@ -153,6 +153,8 @@ def main():
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="warm-start from the shipped weights")
+    ap.add_argument("--resume-from", type=str, default=None,
+                    help="warm-start from an arbitrary checkpoint path")
     ap.add_argument("--prior", type=str, default=PRIOR)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default=SCRATCH,
@@ -190,10 +192,11 @@ def main():
     # with no recovery. exp() keeps rho/sigma positive by construction
     # and makes the step size proportional (a log-space move is a
     # relative move).
-    if args.resume:
-        with open(WEIGHTS, "rb") as f:
+    if args.resume or args.resume_from:
+        src = args.resume_from or WEIGHTS
+        with open(src, "rb") as f:
             params = serialization.from_bytes(params, f.read())
-        print(f"resumed from {WEIGHTS}", flush=True)
+        print(f"resumed from {src}", flush=True)
     tparams = {"height_map_sqrt": jnp.asarray(params["height_map_sqrt"]),
                "log_rhos": jnp.log(jnp.asarray(params["rhos"])),
                "log_sigmas": jnp.log(jnp.asarray(params["sigmas"]))}

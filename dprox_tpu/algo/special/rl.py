@@ -286,6 +286,9 @@ class AutoTuneSolver:
             for sample in dataset:
                 x0 = to_jax_array(sample["x0"], batch=True).astype(jnp.float32)
                 gt = to_jax_array(sample["gt"], batch=True).astype(jnp.float32)
+                # tolerate an extra leading singleton on gt (datasets often
+                # carry pre-batched gts; the per-sample psnr needs BCHW)
+                gt = jnp.reshape(gt, x0.shape)
                 solve_params = {k: v for k, v in sample.items()
                                 if k not in ("x0", "gt")}
                 state = self.solver.initialize(x0, solve_params)

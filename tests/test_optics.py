@@ -157,13 +157,15 @@ def test_csmri_mat_roundtrip(tmp_path):
 # ---------------------------------------------------------------------- #
 
 # (held-out hopper crop index, co-designed PSNR, fresnel-baseline PSNR)
-# pinned from scripts/train_doe.py: 800 TPU steps of joint height-map +
-# log-space schedule training through 10 unrolled PnP-ADMM iterations,
-# best-EMA iterate; heldout mean gain +7.68 dB (min +7.08), CPU re-eval
-# identical to 0.01 dB. Reference anchor: the SIGGRAPH'23 e2e optics
-# experiment (examples/.../e2e_optics_dprox.py:113-229, goldens
+# pinned from scripts/train_doe.py: r3's 800 TPU steps + two r4 resume
+# legs (1600 + 2400 steps, LR warmup, best-VAL-iterate selection on
+# held-out-position crops — r4's first naive warm restart showed EMA
+# selection picking params ~2 dB worse held-out); heldout mean gain
+# +8.19 dB (min +7.76), plateau confirmed (leg gains +0.43 then +0.08).
+# Reference anchor: the SIGGRAPH'23 e2e optics experiment
+# (examples/.../e2e_optics_dprox.py:113-229, goldens
 # tests/paper/test_optics.py:97-105).
-DOE_GOLDEN = [(0, 28.84, 20.81), (2, 24.72, 17.64)]
+DOE_GOLDEN = [(0, 29.22, 20.81), (2, 25.39, 17.64)]
 
 
 @pytest.mark.parametrize("crop_idx,expected,expected_fresnel", DOE_GOLDEN)

@@ -142,7 +142,7 @@ def apply_denoise(model, params, cubes, sigma_map):
     return model.apply(params, inp)[..., 0]
 
 
-def evaluate(model, params, cubes, sigmas=(0.1, 0.2), tag=""):
+def evaluate(model, params, cubes, sigmas=(0.01, 0.1, 0.2), tag=""):
     cubes = jnp.asarray(cubes)
 
     @jax.jit
@@ -206,7 +206,14 @@ def main():
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         idx = jax.random.randint(k1, (args.batch,), 0, args.n_cubes)
         clean = data[idx]  # [B, Bands, H, W]
-        sigma = args.sigma_max * jax.random.uniform(k2, (args.batch,))
+        u = jax.random.uniform(k2, (args.batch,))
+        # half uniform, half u^2 (low-sigma emphasis): the first 6k-step
+        # run with pure-uniform sigmas capped at ~31 dB fidelity on a
+        # CLEAN input at sigma=0.01 — inside PnP that ceiling destroys
+        # data-term-driven tasks (misr: 24 vs TV 48 dB). The residual
+        # head can only learn near-identity if low sigmas are SEEN.
+        u = jnp.where(jnp.arange(args.batch) % 2 == 0, u, u * u)
+        sigma = args.sigma_max * u
         # non-iid per-band envelope on half the batch (dphsir condition)
         env = 0.5 + jax.random.uniform(k4, (args.batch, args.bands))
         env = (env + jnp.roll(env, 1, 1) + jnp.roll(env, -1, 1)) / 3.0

@@ -33,7 +33,7 @@ def noise_adaptive_schedule(sigma_n, max_iter=24):
     return dp.log_descent(upper, lower, max_iter, sigma=0.01)
 
 
-def _solve_pnp(sample, max_iter=24, prior="res_ffdnet_tv", sigma_n=0.0):
+def _solve_pnp(sample, max_iter=24, prior="distilled_gray_tv", sigma_n=0.0):
     x = dp.Variable()
     y = dp.Placeholder("y")
     mask = dp.Placeholder("mask", batch=False)
@@ -66,11 +66,14 @@ GRID = [
     # (num_lines ~ acceleration, sigma_n, expected deep-prior PSNR,
     #  expected TV PSNR) — noisy-cell goldens re-pinned r3 with the
     # noise-adaptive schedule (was 20.22/19.86 and 18.92/18.48 on the
-    # fixed noiseless schedule)
-    (50, 0.0, 29.53, 25.33),
-    (40, 0.0, 29.90, 25.71),
-    (40, 0.05, 22.31, 20.98),
-    (30, 0.05, 20.73, 19.43),
+    # fixed noiseless schedule); deep-prior column re-pinned r4 with the
+    # distilled gray student (distilled_gray_tv beats the previous
+    # res_ffdnet_tv pins 29.53/29.90/22.31/20.73 on every cell at ONE
+    # net call per prox)
+    (50, 0.0, 30.75, 25.33),
+    (40, 0.0, 30.32, 25.71),
+    (40, 0.05, 22.76, 20.98),
+    (30, 0.05, 21.21, 19.43),
 ]
 
 
@@ -121,12 +124,14 @@ def test_deq_broyden_on_packed_complex_state():
 # (num_lines, sigma_n, expected trained-DEQ PSNR, PnP grid golden of the
 #  same cell) — pinned from the r3 task-scale training run
 # (scripts/train_deq_csmri.py: 600 steps on TPU v5e; heldout mean gain
-# +3.82 dB — min +0.44 — over the STRONGEST shipped PnP baseline, the
-# noise-adaptive res_ffdnet_tv schedule). The reference's counterpart
-# grid is tests/paper/test_csmri.py:197-222 (DEQ-UNet).
+# +3.82 dB — min +0.44 — over the r3-strongest PnP baseline, the
+# noise-adaptive res_ffdnet_tv schedule). The pnp_golden column carries
+# the r4 re-pinned distilled_gray_tv grid values — the DEQ still beats
+# the stronger PnP on both cells. The reference's counterpart grid is
+# tests/paper/test_csmri.py:197-222 (DEQ-UNet).
 DEQ_GRID = [
-    (50, 0.0, 31.68, 29.53),
-    (40, 0.05, 27.37, 22.31),
+    (50, 0.0, 31.68, 30.75),
+    (40, 0.05, 27.37, 22.76),
 ]
 
 

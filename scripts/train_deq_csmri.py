@@ -46,8 +46,8 @@ SIZE = 128
 BUDGET = 24  # equal-budget comparison: DEQ f_thres == PnP max_iter
 
 
-def build_deq(f_thres=BUDGET, b_thres=16):
-    den = get_denoiser("res_ffdnet")
+def build_deq(f_thres=BUDGET, b_thres=16, prior="res_ffdnet"):
+    den = get_denoiser(prior)
     x = dp.Variable()
     y = dp.Placeholder("y")
     mask = dp.Placeholder("mask", batch=False)
@@ -137,12 +137,22 @@ def main():
     ap.add_argument("--size", type=int, default=None,
                     help="override problem size (CPU smoke tests)")
     ap.add_argument("--f-thres", type=int, default=BUDGET)
+    ap.add_argument("--prior", type=str, default="res_ffdnet",
+                    help="denoiser registry key for the prior init "
+                         "(e.g. distilled_gray)")
+    ap.add_argument("--out", type=str, default=None,
+                    help="output path (defaults to the shipped WEIGHTS "
+                         "path for backward compat; prefer a scratch "
+                         "path and ship explicitly)")
     args = ap.parse_args()
 
+    global WEIGHTS
+    if args.out:
+        WEIGHTS = args.out
     global SIZE
     if args.size:
         SIZE = args.size
-    deq, den = build_deq(f_thres=args.f_thres)
+    deq, den = build_deq(f_thres=args.f_thres, prior=args.prior)
     params = init_params(deq, den)
 
     heldout = make_samples(6, seed0=9100)

@@ -176,15 +176,18 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default=SCRATCH)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--resume-from", type=str, default=None)
     ap.add_argument("--eval-only", action="store_true")
     args = ap.parse_args()
 
     model = make_model()
     init = model.init(jax.random.key(args.seed),
                       jnp.zeros((1, 4, 16, 16, 2)))
-    if args.eval_only or args.resume:
-        with open(WEIGHTS, "rb") as f:
+    if args.eval_only or args.resume or args.resume_from:
+        src = args.resume_from or WEIGHTS
+        with open(src, "rb") as f:
             params = serialization.from_bytes(init, f.read())
+        print(f"loaded {src}", flush=True)
         if args.eval_only:
             evaluate(model, params, heldout_cubes(args.bands, args.size),
                      tag="heldout ")
@@ -251,6 +254,11 @@ def main():
             print(f"step {(i + 1) * args.chunk}/{args.steps} "
                   f"loss {float(loss):.6f} ({time.time() - t0:.0f}s)",
                   flush=True)
+        if i % 20 == 19:
+            # periodic checkpoint: the axon TPU worker can crash
+            # mid-run (lost a 9.5k-step run to one) — make restarts cheap
+            with open(args.out + ".ckpt", "wb") as f:
+                f.write(serialization.to_bytes(jax.device_get(params)))
 
     evaluate(model, params, eval_cubes, tag="heldout ")
     with open(args.out, "wb") as f:

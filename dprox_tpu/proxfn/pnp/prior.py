@@ -180,12 +180,13 @@ def get_denoiser(kind: str) -> Denoiser:
         return GRUNetDenoiser(ckpt_path=find_weights("tiny_grunet.msgpack"),
                               base=8)
     if kind == "tiny_grunet_tv":
-        # deep + 3-D TV average, the reference's grunet_tv pattern
-        # (wrapper.py:194-202) on the in-repo-trained net
+        # deep + 3-D TV blend (w=0.4), the reference's grunet_tv pattern
+        # (wrapper.py:194-202) on the in-repo-trained net — the measured
+        # best HSI prior across the grid (tests/paper/test_hsi_grid.py)
         from .grunet import GRUNetTVDenoiser
 
         return GRUNetTVDenoiser(ckpt_path=find_weights("tiny_grunet.msgpack"),
-                                base=8)
+                                base=8, weight=0.4, use_3dtv=True)
     raise KeyError(f"unknown denoiser '{kind}'")
 
 

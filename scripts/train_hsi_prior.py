@@ -256,9 +256,13 @@ def main():
                   flush=True)
         if i % 20 == 19:
             # periodic checkpoint: the axon TPU worker can crash
-            # mid-run (lost a 9.5k-step run to one) — make restarts cheap
-            with open(args.out + ".ckpt", "wb") as f:
+            # mid-run (lost a 9.5k-step run to one) — make restarts
+            # cheap. tmp+rename so a crash/read mid-write can't leave a
+            # truncated file
+            tmp = args.out + ".ckpt.tmp"
+            with open(tmp, "wb") as f:
                 f.write(serialization.to_bytes(jax.device_get(params)))
+            os.replace(tmp, args.out + ".ckpt")
 
     evaluate(model, params, eval_cubes, tag="heldout ")
     with open(args.out, "wb") as f:

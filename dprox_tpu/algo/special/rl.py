@@ -219,18 +219,55 @@ class AutoTuneSolver:
         state minus ``loop_penalty`` (tfpnp's reward shaping). Returns the
         trained policy params (also stored on ``self.policy_params``)."""
         rng = np.random.RandomState(seed)
+        from ..base import decode_complex, encode_complex
+
         critic = CriticNet()
+
+        def psnr(x, gt):
+            mse = jnp.mean((jnp.real(x) - gt) ** 2, axis=(1, 2, 3))
+            return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+        # Every eager touch of the (possibly complex) solver state is
+        # UNIMPLEMENTED on the axon TPU backend — the whole episode
+        # machinery runs as two jitted functions with encoded-complex
+        # boundaries (cf. DEQSolver.solve).
+        @jax.jit
+        def _episode_init(x0, sp_enc, gt):
+            sp = decode_complex(sp_enc)
+            state = self.solver.initialize(x0, sp)
+            return (encode_complex(tuple(state)), self._policy_ob(state, 0, x0),
+                    psnr(state[0], gt))
+
+        def _macro_fn(ap, state_enc, x0, sp_enc, gt, i, noise):
+            sp = decode_complex(sp_enc)
+            state = decode_complex(state_enc)
+            ob = self._policy_ob(state, i, x0)
+            a = self._flat_action(self.policy.apply(ap, ob)) + noise
+            action = self._action_from_flat(a)
+            lams = [action["sigmas"][:, j]
+                    for j in range(len(self.solver.psi_fns))]
+            state = self.solver.iters(tuple(state), action["rho"], lams,
+                                      self.action_pack, params=sp, x_ref=x0)
+            return (encode_complex(tuple(state)), a, psnr(state[0], gt),
+                    self._policy_ob(state, i + 1, x0))
+
+        _macro = jax.jit(_macro_fn, static_argnums=(5,))
 
         # materialize (single-pass iterators would lose the probe sample
         # and be exhausted after the first epoch)
         dataset = list(dataset)
+
+        def _prep(sample):
+            x0 = to_jax_array(sample["x0"], batch=True).astype(jnp.float32)
+            gt = to_jax_array(sample["gt"], batch=True).astype(jnp.float32)
+            gt = jnp.reshape(gt, x0.shape)
+            sp_enc = encode_complex({k: v for k, v in sample.items()
+                                     if k not in ("x0", "gt")})
+            return x0, gt, sp_enc
+
         # Probe one sample to shape the networks.
-        sample0 = dataset[0]
-        x0 = to_jax_array(sample0["x0"], batch=True).astype(jnp.float32)
-        solve_params0 = {k: v for k, v in sample0.items()
-                         if k not in ("x0", "gt")}
-        state0 = self.solver.initialize(x0, solve_params0)
-        ob0 = self._policy_ob(state0, 0, x0)
+        x0, gt0, sp_enc0 = _prep(dataset[0])
+        _, ob0, _ = _episode_init(x0, sp_enc0, gt0)
         a0 = self._flat_action(self.policy.apply(self.policy_params, ob0))
 
         actor_params = self.policy_params
@@ -269,10 +306,6 @@ class AutoTuneSolver:
             return jax.tree.map(lambda t, p: (1 - tau) * t + tau * p,
                                 target, online)
 
-        def psnr(x, gt):
-            mse = jnp.mean((jnp.real(x) - gt) ** 2, axis=(1, 2, 3))
-            return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
-
         buf = {"ob": [], "act": [], "rew": [], "nob": [], "done": []}
 
         def buf_push(ob, act, rew, nob, done):
@@ -284,36 +317,23 @@ class AutoTuneSolver:
         step = 0
         for epoch in range(epochs):
             for sample in dataset:
-                x0 = to_jax_array(sample["x0"], batch=True).astype(jnp.float32)
-                gt = to_jax_array(sample["gt"], batch=True).astype(jnp.float32)
-                # tolerate an extra leading singleton on gt (datasets often
-                # carry pre-batched gts; the per-sample psnr needs BCHW)
-                gt = jnp.reshape(gt, x0.shape)
-                solve_params = {k: v for k, v in sample.items()
-                                if k not in ("x0", "gt")}
-                state = self.solver.initialize(x0, solve_params)
-                last_psnr = psnr(state[0], gt)
-                ob = self._policy_ob(state, 0, x0)
+                x0, gt, sp_enc = _prep(sample)
+                state_enc, ob, last_psnr = _episode_init(x0, sp_enc, gt)
+                last_psnr = np.asarray(last_psnr)
                 for i in range(self.max_episode_step):
-                    a = self._flat_action(
-                        self.policy.apply(actor_params, ob))
-                    a = np.asarray(a) + noise_scale * rng.randn(*a.shape)
-                    action = self._action_from_flat(jnp.asarray(a, jnp.float32))
-                    lams = [action["sigmas"][:, j]
-                            for j in range(len(self.solver.psi_fns))]
-                    state = self.solver.iters(
-                        state, action["rho"], lams, self.action_pack,
-                        params=solve_params, x_ref=x0)
-                    new_psnr = psnr(state[0], gt)
+                    noise = jnp.asarray(
+                        noise_scale * rng.randn(*a0.shape), jnp.float32)
+                    state_enc, a, new_psnr, nob = _macro(
+                        actor_params, state_enc, x0, sp_enc, gt, i, noise)
+                    new_psnr = np.asarray(new_psnr)
                     rew = new_psnr - last_psnr - loop_penalty
                     last_psnr = new_psnr
-                    nob = self._policy_ob(state, i + 1, x0)
                     # the episode ends by TRUNCATION (time limit), not
                     # termination: solving continues identically beyond
                     # the horizon, so bootstrap through it (done=0) to
                     # keep Q-values near the horizon unbiased
                     done = np.zeros((ob.shape[0],), np.float32)
-                    buf_push(ob, self._flat_action(action), rew, nob, done)
+                    buf_push(ob, a, rew, nob, done)
                     ob = nob
                     step += 1
 

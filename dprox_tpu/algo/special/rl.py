@@ -212,7 +212,8 @@ class AutoTuneSolver:
                    tau: float = 0.005, noise_scale: float = 0.05,
                    batch_size: int = 16, buffer_size: int = 2048,
                    warmup: int = 8, updates_per_step: int = 1,
-                   loop_penalty: float = 0.05, log_every: int = 0,
+                   loop_penalty: float = 0.05, reward_clip: float = 10.0,
+                   grad_clip: float = 1.0, log_every: int = 0,
                    seed: int = 0):
         """Off-policy DDPG: replay buffer + target networks + Polyak
         averaging. Reward per macro-step is the PSNR gain of the solver
@@ -273,7 +274,16 @@ class AutoTuneSolver:
         actor_params = self.policy_params
         critic_params = critic.init(jax.random.key(seed), ob0, a0)
         actor_target, critic_target = actor_params, critic_params
-        actor_tx, critic_tx = optax.adam(actor_lr), optax.adam(critic_lr)
+        # grad clipping: at task scale (CSMRI, 128^2) unclipped critic
+        # losses diverged to 1e13 within ~200 updates — PSNR-gain rewards
+        # can spike (phantom cells reach near-exact recon) and the
+        # Q-bootstrap amplifies them; clip both the reward magnitude and
+        # the update norms (tfpnp likewise scales its rewards)
+        def _tx(lr):
+            return optax.chain(optax.clip_by_global_norm(grad_clip),
+                               optax.adam(lr))
+
+        actor_tx, critic_tx = _tx(actor_lr), _tx(critic_lr)
         actor_opt = actor_tx.init(actor_params)
         critic_opt = critic_tx.init(critic_params)
 
@@ -326,7 +336,8 @@ class AutoTuneSolver:
                     state_enc, a, new_psnr, nob = _macro(
                         actor_params, state_enc, x0, sp_enc, gt, i, noise)
                     new_psnr = np.asarray(new_psnr)
-                    rew = new_psnr - last_psnr - loop_penalty
+                    rew = np.clip(new_psnr - last_psnr - loop_penalty,
+                                  -reward_clip, reward_clip)
                     last_psnr = new_psnr
                     # the episode ends by TRUNCATION (time limit), not
                     # termination: solving continues identically beyond

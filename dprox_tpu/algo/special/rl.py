@@ -292,6 +292,12 @@ class AutoTuneSolver:
             na = self._flat_action(self.policy.apply(at, nob))
             q_next = critic.apply(ct, nob, na)
             y = rew + gamma * (1.0 - done) * q_next
+            # TD-target clamp: with clipped per-step rewards |r| <=
+            # reward_clip and an H-step horizon, any |y| far outside
+            # H * reward_clip is bootstrap divergence, not signal
+            # (task-scale runs drifted to |Q| ~ 1e4 without this)
+            ymax = reward_clip * self.max_episode_step
+            y = jnp.clip(y, -ymax, ymax)
 
             def loss_fn(p):
                 q = critic.apply(p, ob, act)
@@ -339,11 +345,15 @@ class AutoTuneSolver:
                     rew = np.clip(new_psnr - last_psnr - loop_penalty,
                                   -reward_clip, reward_clip)
                     last_psnr = new_psnr
-                    # the episode ends by TRUNCATION (time limit), not
-                    # termination: solving continues identically beyond
-                    # the horizon, so bootstrap through it (done=0) to
-                    # keep Q-values near the horizon unbiased
-                    done = np.zeros((ob.shape[0],), np.float32)
+                    # the episode ends by TRUNCATION (time limit); pure
+                    # bootstrap-through (done=0 everywhere) is unbiased
+                    # in theory but unstable with function approximation
+                    # — at task scale the unterminated value chain drove
+                    # |Q| to 1e4. Treat the horizon as terminal: returns
+                    # are bounded by the H-step reward sum, matching the
+                    # finite-horizon objective the policy actually faces.
+                    last = float(i == self.max_episode_step - 1)
+                    done = np.full((ob.shape[0],), last, np.float32)
                     buf_push(ob, a, rew, nob, done)
                     ob = nob
                     step += 1

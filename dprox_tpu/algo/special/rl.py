@@ -140,10 +140,32 @@ class AutoTuneSolver:
     def solve(self, x0, aux_state=None, params=None, solve_params=None,
               **kwargs):
         """``params``: policy weights; ``solve_params``: the solver's
-        placeholder values (observations, masks, ...)."""
+        placeholder values (observations, masks, ...).
+
+        The episode runs as ONE jitted program with encoded-complex
+        boundaries (eager complex state ops and complex host<->device
+        transfers are UNIMPLEMENTED on the axon TPU backend); a complex
+        solution is recombined on the HOST from its fetched {re, im}
+        planes."""
+        from ..base import _COMPLEX_TAG, encode_complex, decode_complex
+
         x0 = to_jax_array(x0, batch=True).astype(jnp.float32)
-        return self._episode(params if params is not None else self.policy_params,
-                             x0, solve_params=solve_params, aux_state=aux_state)
+        if not hasattr(self, "_solve_jit"):
+            def run(pp, x0_, sp_enc, aux):
+                out = self._episode(pp, x0_,
+                                    solve_params=decode_complex(sp_enc),
+                                    aux_state=aux)
+                return encode_complex(out)
+
+            self._solve_jit = jax.jit(run)
+        out = self._solve_jit(
+            params if params is not None else self.policy_params, x0,
+            encode_complex(dict(solve_params or {})), aux_state)
+        out = jax.device_get(out)
+        if isinstance(out, dict) and (_COMPLEX_TAG + "re") in out:
+            return (np.asarray(out[_COMPLEX_TAG + "re"])
+                    + 1j * np.asarray(out[_COMPLEX_TAG + "im"]))
+        return out
 
     # ---------------------------------------------------------------- #
 

@@ -45,6 +45,13 @@ class LPConvergenceLoss:
         return jnp.log(rp) + jnp.log(sd)
 
 
+from collections import namedtuple  # noqa: E402
+
+# module-level so every device_view() shares ONE pytree type (a
+# per-call namedtuple class would defeat jit caching)
+LPView = namedtuple("LPView", ["A", "AT", "Acnorm", "d", "e"])
+
+
 class LPProblem:
     """Preprocessed LP: stack [A_ub; A_eq; I], Ruiz-equilibrate, build
     BCOO operators and bounds (reference: solvers.py:26-95)."""
@@ -82,6 +89,14 @@ class LPProblem:
     @property
     def problem_scale(self):
         return self.A.shape
+
+    def device_view(self):
+        """Duck-typed pytree view of the device-resident pieces the hot
+        loop touches (A/AT/Acnorm/d/e) so fused programs take them as
+        ARGUMENTS — closed over, the operator tiles become HLO constants
+        and a ~66k-var instance exceeds the remote-compile relay's
+        request-size limit (HTTP 413)."""
+        return LPView(self.A, self.AT, self.Acnorm, self.d, self.e)
 
 
 class LPSolverADMM:
@@ -299,7 +314,8 @@ class LPSolverADMM:
                 cache.pop(next(iter(cache)))
 
             @jax.jit
-            def fused(c, lb, ub, rho0, sigma, alpha, gamma_c, gamma_b):
+            def fused(pv, rtols, c, lb, ub, rho0, sigma, alpha, gamma_c,
+                      gamma_b):
                 carry0 = (jnp.zeros(n, dt), jnp.zeros(m, dt),
                           jnp.zeros(m, dt), jnp.zeros(n, dt))
                 res0 = jnp.full(5, jnp.inf, dt)
@@ -312,8 +328,8 @@ class LPSolverADMM:
                     k, carry, rho, done, res = st
 
                     def inner(i, carry):
-                        rtol = rtols_dev[jnp.minimum(k + i, 9999)]
-                        return self._one_iter(p, carry, rtol, rho, c,
+                        rtol = rtols[jnp.minimum(k + i, 9999)]
+                        return self._one_iter(pv, carry, rtol, rho, c,
                                               sigma, alpha, lb, ub,
                                               pcg_iters)
 
@@ -324,7 +340,7 @@ class LPSolverADMM:
                     k = k + steps
                     x, z, y, xt = carry
                     objval, r_norm, s_norm, eps_p, eps_d = self.eval_result(
-                        p, c, gamma_c, gamma_b, x, z, y)
+                        pv, c, gamma_c, gamma_b, x, z, y)
                     done = (r_norm < eps_p) & (s_norm < eps_d)
                     if residual_balance:
                         # reference cadence: every 1000 iterations; fire
@@ -347,8 +363,8 @@ class LPSolverADMM:
             cache[key] = fused
 
         t0 = time.perf_counter()
-        k, carry, res = cache[key](c, lb, ub, rho0, sigma, alpha,
-                                   gamma_c, gamma_b)
+        k, carry, res = cache[key](p.device_view(), rtols_dev, c, lb, ub,
+                                   rho0, sigma, alpha, gamma_c, gamma_b)
         x, z, y, xt = carry
         res = np.asarray(res)
         wall = time.perf_counter() - t0

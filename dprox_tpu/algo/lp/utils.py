@@ -54,6 +54,7 @@ def ruiz_equilibration_sparse(A: sp.spmatrix, c: np.ndarray, b: np.ndarray,
     return d, e, float(gamma_c), float(gamma_b), A_bar, Acnorm
 
 
+@jax.tree_util.register_pytree_node_class
 class BSRMat:
     """Static block-sparse (BSR) device operator for TPU matvecs.
 
@@ -106,6 +107,26 @@ class BSRMat:
     def nbytes(self):
         # x2: tiles are stored twice (forward + pre-transposed)
         return 2 * self.n_tiles * self.bm * self.bn * self.tiles.dtype.itemsize
+
+    # pytree protocol: lets the operator cross jit boundaries as an
+    # ARGUMENT instead of being baked into the HLO as constants — at
+    # ~66k-var LPs the constant-embedded program exceeded the remote-
+    # compile relay's request limit (HTTP 413)
+    def tree_flatten(self):
+        children = (self.tiles, self.row_ids, self.col_ids,
+                    self.tilesT, self.row_idsT, self.col_idsT)
+        aux = (self.shape, self.bm, self.bn, self.Mb, self.Nb,
+               self.n_tiles, self.nse)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.tiles, obj.row_ids, obj.col_ids,
+         obj.tilesT, obj.row_idsT, obj.col_idsT) = children
+        (obj.shape, obj.bm, obj.bn, obj.Mb, obj.Nb,
+         obj.n_tiles, obj.nse) = aux
+        return obj
 
     def _matvec_impl(self, x):
         from ...ops.pallas_kernels import bsr_matvec
@@ -174,38 +195,49 @@ class BSRMat:
 from functools import partial as _partial  # noqa: E402
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+# The operator is a registered pytree (it crosses jit boundaries as an
+# argument), so it can no longer sit in nondiff_argnums — it rides as a
+# differentiable arg with an explicit zero cotangent (matrix entries are
+# data: only solver hyperparameters learn).
+def _zeros_cot(tree):
+    return jax.tree.map(
+        lambda l: (jnp.zeros_like(l) if jnp.issubdtype(l.dtype, jnp.inexact)
+                   else np.zeros(l.shape, jax.dtypes.float0)), tree)
+
+
+@jax.custom_vjp
 def _bsr_mv(op, x):
     return op._matvec_impl(x)
 
 
 def _bsr_mv_fwd(op, x):
-    return op._matvec_impl(x), None
+    return op._matvec_impl(x), op
 
 
-def _bsr_mv_bwd(op, _, g):
-    return (op._rmatvec_impl(g),)
+def _bsr_mv_bwd(op, g):
+    return (_zeros_cot(op), op._rmatvec_impl(g))
 
 
 _bsr_mv.defvjp(_bsr_mv_fwd, _bsr_mv_bwd)
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+@jax.custom_vjp
 def _bsr_rmv(op, y):
     return op._rmatvec_impl(y)
 
 
 def _bsr_rmv_fwd(op, y):
-    return op._rmatvec_impl(y), None
+    return op._rmatvec_impl(y), op
 
 
-def _bsr_rmv_bwd(op, _, g):
-    return (op._matvec_impl(g),)
+def _bsr_rmv_bwd(op, g):
+    return (_zeros_cot(op), op._matvec_impl(g))
 
 
 _bsr_rmv.defvjp(_bsr_rmv_fwd, _bsr_rmv_bwd)
 
 
+@jax.tree_util.register_pytree_node_class
 class _BSRTranspose:
     def __init__(self, base: BSRMat):
         self.base = base
@@ -214,6 +246,13 @@ class _BSRTranspose:
 
     def __matmul__(self, y):
         return self.base.rmatvec(y)
+
+    def tree_flatten(self):
+        return (self.base,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
 
 
 def scipy_to_device_op(A: sp.spmatrix, dtype=jnp.float32, bm: int = 128,

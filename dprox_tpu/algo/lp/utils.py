@@ -256,10 +256,18 @@ class _BSRTranspose:
 
 
 def scipy_to_device_op(A: sp.spmatrix, dtype=jnp.float32, bm: int = 128,
-                       bn: int = 128, tile_budget_bytes: int = 1 << 29):
+                       bn: int = 128, tile_budget_bytes: int = None):
     """(op, op_T) device operators: BSR tiles when they fit the budget
     (structured matrices), else BCOO gather/scatter (worst-case random
-    sparsity, where tiling would materialize ~nnz dense tiles)."""
+    sparsity, where tiling would materialize ~nnz dense tiles).
+    ``DPROX_LP_TILE_BUDGET`` overrides the byte budget (r4 scaling
+    study: the v5e worker kernel-faults on the BSR path around
+    ~2600 tiles / 324 MB, so the default budget keeps BSR below that)."""
+    if tile_budget_bytes is None:
+        import os
+
+        tile_budget_bytes = int(os.environ.get("DPROX_LP_TILE_BUDGET",
+                                               1 << 28))
     probe = sp.coo_matrix(A)
     tile_of = (probe.row // bm).astype(np.int64) * (-(-A.shape[1] // bn)) \
         + (probe.col // bn)

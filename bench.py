@@ -190,16 +190,17 @@ def _marginal_its(solve, lo, hi, reps=3):
 # (per-iter cost ~75us vs ~5ms call jitter); re-pinned r3 from the
 # 400-iteration-span sustained measurement (12.9-13.9k, one outlier
 # 27.5k discarded; floor set conservatively).
-# joint_dd_cg's r2 1929 was likewise a 12-iteration span: r3 back-to-
-# back runs on that span gave 2802 then 1722 — +/-30% jitter; the span
-# is now 60 iterations and the floor set below the worst short-span
-# observation until a long-span history accumulates.
-# pnp_deep floor added r4 (VERDICT r3 weak #3): the flagship-quality
-# path measured 305.9 its/s in BENCH_r03 on the 8-48 span; floor set
-# ~15% below pending a longer history (denoiser-dominated, so span
-# jitter is smaller than on the cheap paths).
-R2_FLOORS = {"deconv_fft": 2701.4, "joint_dd_cg": 1600.0, "pnp_deep": 260.0,
-             "csmri_fast": 10000.0, "lp_fused_warm_s": 1.38}
+# joint_dd_cg's r2 1929 was a 12-iteration span (r3 back-to-back runs
+# on that span swung 1722-2802, +/-30%); the span is now 60 iterations
+# and the accumulated LONG-span history reads 4089 / 3350 / 3082
+# (BENCH_r03 + two r4 runs) — floor tightened to ~12% below the minimum
+# observation (VERDICT r3 weak #4; was a conservative 1600).
+# pnp_deep floor added r4 (VERDICT r3 weak #3): flagship-quality path
+# history 305.9 / 318.6 / 313.6 on the 8-48 span.
+# lp_fused floor carries ~1-2% warm-run jitter (r4 runs: 1.381/1.396 s
+# vs the 1.38 record) — floor is the r2 record + 5%.
+R2_FLOORS = {"deconv_fft": 2701.4, "joint_dd_cg": 2700.0, "pnp_deep": 280.0,
+             "csmri_fast": 10000.0, "lp_fused_warm_s": 1.45}
 
 
 def bench_paths():

@@ -77,7 +77,7 @@ def shipped_weights_demo():
     if not os.path.exists(path):
         print("(no shipped deq_csmri.msgpack — skipping trained-DEQ demo)")
         return
-    den = get_denoiser("res_ffdnet")
+    den = get_denoiser("distilled_gray")  # r5 weights trained from this init
     x = dp.Variable()
     y = dp.Placeholder("y")
     mask = dp.Placeholder("mask", batch=False)

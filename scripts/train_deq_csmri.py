@@ -84,7 +84,7 @@ def make_samples(n, seed0, phantom_frac=0.25):
     return out
 
 
-def pnp_psnr(sample, max_iter=BUDGET, prior="res_ffdnet_tv"):
+def pnp_psnr(sample, max_iter=BUDGET, prior="distilled_gray_tv"):
     """Strongest-PnP baseline: the noise-adaptive schedule of
     tests/paper/test_csmri_grid.py (NOT the fixed noiseless DPIR
     schedule — the equal-budget comparison must be against the best
@@ -112,10 +112,10 @@ def deq_psnr(deq, sample, params):
     return metrics.psnr(np.asarray(out), sample["gt"])
 
 
-def evaluate(deq, params, samples, tag=""):
+def evaluate(deq, params, samples, tag="", baseline="distilled_gray_tv"):
     gains = []
     for i, s in enumerate(samples):
-        bp = pnp_psnr(s)
+        bp = pnp_psnr(s, prior=baseline)
         tp = deq_psnr(deq, s, params)
         gains.append(tp - bp)
         print(f"  {tag}[{i}] pnp {bp:6.2f}  deq {tp:6.2f}  "
@@ -144,6 +144,8 @@ def main():
                     help="output path (defaults to the shipped WEIGHTS "
                          "path for backward compat; prefer a scratch "
                          "path and ship explicitly)")
+    ap.add_argument("--baseline", type=str, default="distilled_gray_tv",
+                    help="PnP baseline prior for evaluate()")
     args = ap.parse_args()
 
     global WEIGHTS
@@ -164,7 +166,8 @@ def main():
     if args.eval_only:
         with open(WEIGHTS, "rb") as f:
             params = serialization.from_bytes(params, f.read())
-        evaluate(deq, params, heldout, tag="heldout")
+        evaluate(deq, params, heldout, tag="heldout",
+                 baseline=args.baseline)
         return
 
     train = make_samples(args.n_train, seed0=args.seed)
@@ -213,8 +216,16 @@ def main():
                   f"r={float(params['deq_r']):.3f} "
                   f"l={float(params['deq_l']):.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if step and step % 200 == 0:
+            # periodic checkpoint: the axon TPU worker has crashed
+            # mid-run before; atomic write-then-rename
+            tmp = WEIGHTS + ".ckpt.tmp"
+            with open(tmp, "wb") as f:
+                f.write(serialization.to_bytes(jax.device_get(params)))
+            os.replace(tmp, WEIGHTS + ".ckpt")
 
-    evaluate(deq, params, heldout, tag="heldout")
+    evaluate(deq, params, heldout, tag="heldout",
+             baseline=args.baseline)
     with open(WEIGHTS, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(params)))
     print(f"saved {WEIGHTS} ({os.path.getsize(WEIGHTS) // 1024} KB)")

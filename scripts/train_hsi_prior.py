@@ -178,9 +178,12 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--resume-from", type=str, default=None)
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--base", type=int, default=8,
+                    help="GRUnet width multiplier (8 = shipped tiny; "
+                         "12/16 = wider variants, round-5 candidate)")
     args = ap.parse_args()
 
-    model = make_model()
+    model = make_model(base=args.base)
     init = model.init(jax.random.key(args.seed),
                       jnp.zeros((1, 4, 16, 16, 2)))
     if args.eval_only or args.resume or args.resume_from:

@@ -122,16 +122,22 @@ def test_deq_broyden_on_packed_complex_state():
 
 
 # (num_lines, sigma_n, expected trained-DEQ PSNR, PnP grid golden of the
-#  same cell) — pinned from the r3 task-scale training run
-# (scripts/train_deq_csmri.py: 600 steps on TPU v5e; heldout mean gain
-# +3.82 dB — min +0.44 — over the r3-strongest PnP baseline, the
-# noise-adaptive res_ffdnet_tv schedule). The pnp_golden column carries
-# the r4 re-pinned distilled_gray_tv grid values — the DEQ still beats
-# the stronger PnP on both cells. The reference's counterpart grid is
-# tests/paper/test_csmri.py:197-222 (DEQ-UNet).
+#  same cell) — pinned from the r5 retrain from the distilled_gray init
+# (scripts/train_deq_csmri.py --prior distilled_gray: 800 steps on TPU
+# v5e; heldout mean gain +4.02 dB — min +0.29 — over the strongest PnP
+# baseline, the noise-adaptive distilled_gray_tv schedule; the r3
+# res_ffdnet-init weights measured +3.61 on the identical heldout set).
+# The pnp_golden column carries the r4 re-pinned distilled_gray_tv grid
+# values — the DEQ beats the stronger PnP on both cells. The reference's
+# counterpart grid is tests/paper/test_csmri.py:197-222 (DEQ-UNet).
+# Expected values are CPU-backend pins (this suite runs on the CPU
+# mesh); on v5e the same cells measure 32.59 / 28.02 — the distilled
+# equilibrium is more backend-sensitive than the r3 one (bf16 matmul
+# accumulation differences compound through ~24 fixed-point iterations),
+# so the CPU and TPU numbers are recorded separately.
 DEQ_GRID = [
-    (50, 0.0, 31.68, 30.75),
-    (40, 0.05, 27.37, 22.76),
+    (50, 0.0, 30.99, 30.75),
+    (40, 0.05, 27.51, 22.76),
 ]
 
 
@@ -149,7 +155,7 @@ def test_trained_deq_grid(num_lines, sigma, expected, pnp_golden):
 
     path = os.path.join(os.path.dirname(__file__), "..", "..", "weights",
                         "deq_csmri.msgpack")
-    den = get_denoiser("res_ffdnet")
+    den = get_denoiser("distilled_gray")  # r5 weights trained from this init
     x = dp.Variable()
     y = dp.Placeholder("y")
     mask = dp.Placeholder("mask", batch=False)

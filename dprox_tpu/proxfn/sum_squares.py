@@ -15,8 +15,10 @@ through ``params``, and offsets are evaluated from the expression tree.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from ..linalg import LinearSolveConfig, linear_solve
@@ -31,6 +33,83 @@ def _fftn2(x):
 
 def _ifftn2(x):
     return jnp.fft.ifftn(x, axes=(-2, -1))
+
+
+# Size-gated strategy for the frequency x-update tail, measured on TPU
+# v5e (benchmarks/fft_cliff.py micro + large_shapes.py end-to-end):
+#   plane <  2048^2: full-complex FFT pair. The isolated x-update
+#     microbench prefers rfft from 1024^2 (0.71 vs 0.91 ms), but the
+#     FULL ADMM iteration measures 971-1044 its/s with rfft vs 1082
+#     full-complex at 1024^2 — the real<->half-complex boundary costs
+#     more fusion than the half-grid saves — so the gate stays high.
+#   plane >= 2048^2: half-spectrum rfft2/irfft2 (exact here: numerator
+#     conj-symmetric, gram diagonal even-symmetric) AND lax.map one
+#     (batch, channel) slice at a time — a batched 3-channel 2048^2 FFT
+#     leaves the near-linear scaling regime (working set ~100 MB >>
+#     VMEM); map+rfft: 5.6 -> 3.0 ms per x-update in micro, deconv
+#     ADMM 161 -> 236-239 its/s end-to-end (+47%).
+_RFFT_MIN_PLANE = 2048 * 2048
+_MAP_MIN_PLANE = 2048 * 2048
+
+
+def _freq_xupdate(spatial, freq_const, diag, eps):
+    """``real(ifft2((freq_const + fft2(spatial) + eps) / (diag + eps)))``
+    with the strategy table above.
+
+    ``spatial`` (real, [..., H, W]) or ``freq_const`` (complex
+    full-spectrum numerator, e.g. the hoisted conj(H)*F(b)) may each be
+    None; ``diag`` is the real gram diagonal (full-spectrum array or
+    scalar).
+
+    Correctness of the half-spectrum path relies on the symmetries the
+    freq-diagonal solve always has: ``freq_const`` conjugate-symmetric
+    (it is conj(H)*F(b) of real b and real-PSF OTFs H) and ``diag``
+    even-symmetric (sums of |H|^2 plus real scalars). A non-symmetric
+    divisor would make real(ifft(F/D)) != irfft((F/D)[..half]) — see
+    tests/test_algorithms.py::test_freq_xupdate_strategies_agree."""
+    ref = spatial if spatial is not None else freq_const
+    Hs, Ws = int(ref.shape[-2]), int(ref.shape[-1])
+    plane = Hs * Ws
+    diag_is_arr = getattr(diag, "ndim", 0) >= 1 and diag.shape[-1] == Ws
+
+    if plane < _RFFT_MIN_PLANE:
+        F = freq_const if freq_const is not None else 0.0
+        if spatial is not None:
+            F = F + _fftn2(spatial)
+        return jnp.real(_ifftn2((F + eps) / (diag + eps)))
+
+    half = Ws // 2 + 1
+    fc = freq_const[..., :half] if freq_const is not None else None
+    dg = diag[..., :half] if diag_is_arr else diag
+
+    def tail(sp, fc_i, dg_i):
+        F = fc_i if fc_i is not None else 0.0
+        if sp is not None:
+            F = F + jnp.fft.rfftn(sp, axes=(-2, -1))
+        return jnp.fft.irfftn((F + eps) / (dg_i + eps), s=(Hs, Ws),
+                              axes=(-2, -1))
+
+    lead = tuple(ref.shape[:-2])
+    n = math.prod(lead) if lead else 1
+    if plane < _MAP_MIN_PLANE or n <= 1:
+        return tail(spatial, fc, dg)
+
+    def flat(a):
+        if a is None or getattr(a, "ndim", 0) < 2:
+            return None
+        a = jnp.broadcast_to(a, lead + tuple(a.shape[-2:]))
+        return a.reshape((n,) + tuple(a.shape[-2:]))
+
+    sp_f, fc_f = flat(spatial), flat(fc)
+    dg_f = flat(dg) if diag_is_arr else None
+
+    def body(i):
+        return tail(sp_f[i] if sp_f is not None else None,
+                    fc_f[i] if fc_f is not None else None,
+                    dg_f[i] if dg_f is not None else dg)
+
+    out = jax.lax.map(body, jnp.arange(n))
+    return out.reshape(lead + (Hs, Ws))
 
 
 def _freq_jacobi_minv(theta, r):
@@ -324,9 +403,13 @@ class least_squares(ProxFn):
             if v is not None:
                 diag = diag + rho
             F = prepared["freq_Ktb_quad"]
-            if not (isinstance(s, float) and s == 0.0):
-                F = F + self._fft2(s)
-            out = jnp.real(self._ifft2((F + eps) / (diag + eps)))
+            sp = None if (isinstance(s, float) and s == 0.0) else s
+            if self.spatial_mesh is None:
+                out = _freq_xupdate(sp, F, diag, eps)
+            else:
+                if sp is not None:
+                    F = F + self._fft2(sp)
+                out = jnp.real(self._ifft2((F + eps) / (diag + eps)))
             return out.astype(jnp.float32)
         if prepared is not None:
             Ktb = prepared["Ktb_quad"]
@@ -346,9 +429,14 @@ class least_squares(ProxFn):
             diag = diag + rho
 
         if freq:
-            # full complex FFTs: measured faster than rfft on TPU v5e
-            F = self._fft2(Ktb)
-            out = jnp.real(self._ifft2((F + eps) / (diag + eps)))
+            if self.spatial_mesh is None:
+                # size-gated full-complex / rfft / per-channel strategy
+                # (see _freq_xupdate; <= 512^2 keeps the full-complex
+                # pair, measured faster than rfft there on v5e)
+                out = _freq_xupdate(Ktb, None, diag, eps)
+            else:
+                F = self._fft2(Ktb)
+                out = jnp.real(self._ifft2((F + eps) / (diag + eps)))
         else:
             out = Ktb / (diag + eps)
         return out.astype(jnp.float32)

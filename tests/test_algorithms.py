@@ -32,6 +32,41 @@ class TestExactLeastSquares:
         out = solver.solve(x0=jnp.zeros((1, 1, 8, 8)), max_iter=24)
         assert np.allclose(np.asarray(out), rhs / 2, atol=1e-4)
 
+    @pytest.mark.parametrize("rfft_min,map_min", [(1, 10**9), (1, 1)])
+    def test_freq_xupdate_strategies_agree(self, rfft_min, map_min,
+                                           monkeypatch):
+        """The size-gated rfft / per-channel-map x-update variants
+        (sum_squares._freq_xupdate, tuned at 1024^2/2048^2 on v5e —
+        benchmarks/fft_cliff.py) must agree with the full-complex path
+        bit-for-tolerance. Thresholds are monkeypatched so the large-
+        plane strategies run at test-sized shapes."""
+        import importlib
+
+        # the module (package attr `sum_squares` is shadowed by the class)
+        ss = importlib.import_module("dprox_tpu.proxfn.sum_squares")
+
+        rng = np.random.RandomState(3)
+        sp = jnp.asarray(rng.rand(2, 3, 16, 16).astype(np.float32))
+        # library-shaped spectra: numerator conj(H)*F(b) (conjugate-
+        # symmetric), divisor |H|^2 + rho (even-symmetric) — the
+        # half-spectrum path is only exact under these symmetries,
+        # which every real-PSF gram diagonal satisfies
+        Hf = ss._fftn2(jnp.asarray(rng.rand(1, 3, 16, 16)
+                                   .astype(np.float32)))
+        fc = jnp.conj(Hf) * ss._fftn2(
+            jnp.asarray(rng.rand(1, 3, 16, 16).astype(np.float32)))
+        diag = jnp.abs(Hf[:, :1]) ** 2 + 0.5
+        want = np.asarray(ss._freq_xupdate(sp, fc, diag, 1e-7))
+        # scalar diag + no freq_const (plain-path shape)
+        want2 = np.asarray(ss._freq_xupdate(sp, None, 2.0, 1e-7))
+
+        monkeypatch.setattr(ss, "_RFFT_MIN_PLANE", rfft_min)
+        monkeypatch.setattr(ss, "_MAP_MIN_PLANE", map_min)
+        got = np.asarray(ss._freq_xupdate(sp, fc, diag, 1e-7))
+        assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+        got2 = np.asarray(ss._freq_xupdate(sp, None, 2.0, 1e-7))
+        assert np.allclose(got2, want2, atol=1e-5)
+
     def test_conv_least_squares_fft(self):
         # min ||conv(x) - b||^2 has exact solution via FFT division
         rng = np.random.RandomState(1)

@@ -73,10 +73,78 @@ def main(n_periods=512, n_tech=16, admm_iters=200):
     }))
 
 
+def fused_probe(n_periods, n_tech=16, max_iters=2000):
+    """Run the RAW fused path (size gate bypassed) at one size and print
+    a JSON verdict. Invoked in a subprocess by --envelope so a backend
+    kernel fault cannot kill the prober."""
+    os.environ["DPROX_LP_FUSED_MAX_VARS"] = str(10**9)
+    from dprox_tpu.algo.lp import LPProblem, LPSolverADMM
+    from dprox_tpu.contrib.energy_system import synthetic_cep_model
+
+    c, A_ub, A_eq, b_ub, b_eq = synthetic_cep_model(n_periods, n_tech)
+    p = LPProblem(c, A_ub, b_ub, A_eq, b_eq, dtype=jnp.float32)
+    sv = LPSolverADMM(dtype=jnp.float32, verbose=False)
+    t0 = time.perf_counter()
+    x, res = sv.solve_fused(p, max_iters=max_iters)
+    float(np.asarray(x)[0])
+    print(json.dumps({"vars": int(p.n), "status": "pass",
+                      "iters": int(res["iters"]),
+                      "wall_s_incl_compile":
+                          round(time.perf_counter() - t0, 1)}))
+
+
+def envelope(periods_ladder=(512, 1024, 2048, 4096, 8192), n_tech=16,
+             timeout_s=1200):
+    """One-command pass/fault envelope of the fused LP program
+    (VERDICT r4 #10): each size runs the raw fused path in a SUBPROCESS
+    — the known 66k+-var axon kernel fault takes the worker down with
+    it, so isolation is what makes the ladder survivable — and the
+    table of verdicts prints as one JSON line at the end."""
+    import subprocess
+
+    rows = []
+    for periods in periods_ladder:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--fused-probe", str(periods), "--tech", str(n_tech)]
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            rows.append({"periods": periods, "status": "timeout",
+                         "timeout_s": timeout_s})
+            continue
+        line = [ln for ln in r.stdout.strip().splitlines()
+                if ln.startswith("{")]
+        if r.returncode == 0 and line:
+            row = json.loads(line[-1])
+            row["periods"] = periods
+            rows.append(row)
+        else:
+            rows.append({"periods": periods, "vars": periods * n_tech,
+                         "status": "fault", "rc": r.returncode,
+                         "stderr_tail": r.stderr.strip()[-300:]})
+            # faults at one size imply faults above it on this backend;
+            # keep probing anyway only if the caller asked via env
+            if os.environ.get("DPROX_ENVELOPE_CONTINUE") != "1":
+                break
+    print(json.dumps({"device": str(jax.devices()[0]),
+                      "fused_envelope": rows}))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--periods", type=int, default=512)
     ap.add_argument("--tech", type=int, default=16)
     ap.add_argument("--admm-iters", type=int, default=200)
+    ap.add_argument("--envelope", action="store_true",
+                    help="subprocess-isolated pass/fault ladder of the "
+                         "raw fused program (VERDICT r4 #10)")
+    ap.add_argument("--fused-probe", type=int, default=None,
+                    help="internal: raw fused run at N periods")
     a = ap.parse_args()
-    main(a.periods, a.tech, a.admm_iters)
+    if a.fused_probe is not None:
+        fused_probe(a.fused_probe, a.tech)
+    elif a.envelope:
+        envelope(n_tech=a.tech)
+    else:
+        main(a.periods, a.tech, a.admm_iters)

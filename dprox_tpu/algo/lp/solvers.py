@@ -287,10 +287,44 @@ class LPSolverADMM:
         dominate wall-clock (measured 594 s vs ~4 s of compute on the
         8.2k-var CEP instance). This is the TPU-native equivalent of the
         imaging path's ``solve_until``. Returns (x, results_dict).
+
+        Size gate (VERDICT r4 #4): the fused single-program form was
+        probed to kernel-fault the axon TPU worker past ~33k variables
+        (66k+ faults deterministically on both BSR and BCOO operator
+        layouts; benchmarks/lp_profile.py --envelope re-probes in one
+        command) while the chunked ``solve`` demonstrably carries
+        131k. Oversized problems therefore degrade to the chunked path
+        with a warning instead of faulting the backend. Override the
+        bound with DPROX_LP_FUSED_MAX_VARS (e.g. after a relay/backend
+        update makes larger fused programs viable).
         """
         params = params if params is not None else self.init_params()
         max_iters = max_iters or self.max_iters
         p = problem
+
+        import os
+        import warnings
+        fused_max = int(os.environ.get("DPROX_LP_FUSED_MAX_VARS", 33000))
+        if p.n > fused_max:
+            warnings.warn(
+                f"solve_fused: {p.n} variables exceeds the fused-program "
+                f"envelope ({fused_max}; DPROX_LP_FUSED_MAX_VARS to "
+                f"override) — falling back to the chunked solve",
+                RuntimeWarning, stacklevel=2)
+            t0 = time.perf_counter()
+            x, history, res = self.solve(
+                problem, params, max_iters=max_iters, eval_freq=eval_freq,
+                residual_balance=residual_balance, pcg_iters=pcg_iters,
+                polish=polish)
+            wall = time.perf_counter() - t0
+            objval, r_norm, s_norm, eps_p, eps_d = (float(v) for v in res)
+            return x, {"objective": objval, "r_norm": r_norm,
+                       "s_norm": s_norm, "eps_primal": eps_p,
+                       "eps_dual": eps_d,
+                       "iters": min(len(history["t_chunk"]) * eval_freq,
+                                    max_iters),
+                       "wall_s_incl_first_compile": wall,
+                       "fallback": "chunked"}
         dt = self.dtype
         m, n = p.problem_scale
         rho0 = params["rho"]

@@ -103,9 +103,60 @@ def generate_sample(size: int = 128, num_lines: int = 40, sigma: float = 0.0,
 
 
 def sample(name: Optional[str] = None, size: int = 128):
-    """Single-problem loader (reference: csmri.py:230-258). Falls back to
-    the synthetic phantom offline."""
+    """Single-problem loader (reference: csmri.py:230-258). Uses the
+    reference's real assets (radial_128_2.mat mask + Medical_128 image)
+    when they are present in the hub cache — drop them in and the
+    reference-golden tests activate (tests/test_golden.py -k
+    reference_weights) — and falls back to the synthetic phantom
+    offline."""
+    real = sample_reference(name or "Bust.jpg")
+    if real is not None:
+        return real
     return generate_sample(size=size)
+
+
+def sample_reference(name: str = "Bust.jpg"):
+    """Reference-exact loader of the real CSMRI sample
+    (reference csmri.py:230-258: radial mask applied in the CENTERED
+    ortho fft2 convention, zero-filled adjoint as x0). Returns the same
+    dict shape as :func:`generate_sample`, or None when either asset
+    (data/csmri/masks/radial_128_2.mat, data/csmri/Medical_128/<name>)
+    is absent from the hub cache."""
+    from ..utils import hub
+
+    mask_path = hub.load_path("data/csmri/masks/radial_128_2.mat",
+                              repo_type="datasets", raise_on_miss=False)
+    img_path = hub.load_path(f"data/csmri/Medical_128/{name}",
+                             repo_type="datasets", raise_on_miss=False)
+    if mask_path is None or img_path is None:
+        return None
+    from PIL import Image
+    from scipy.io import loadmat
+
+    def np_fft2c(x):
+        x = np.fft.ifftshift(x, axes=(-2, -1))
+        x = np.fft.fft2(x, norm="ortho")
+        return np.fft.fftshift(x, axes=(-2, -1))
+
+    def np_ifft2c(x):
+        x = np.fft.ifftshift(x, axes=(-2, -1))
+        x = np.fft.ifft2(x, norm="ortho")
+        return np.fft.fftshift(x, axes=(-2, -1))
+
+    mask = loadmat(mask_path)["mask"].astype(bool)
+    target = np.asarray(Image.open(img_path).convert("L"),
+                        np.float32) / 255.0
+    y0 = np_fft2c(target[None, None].astype(np.complex64))
+    y0 = np.where(mask[None, None], y0, 0).astype(np.complex64)
+    ATy0 = np_ifft2c(y0).astype(np.complex64)
+    return {
+        "y0": y0,
+        "x0": ATy0,
+        "ATy0": ATy0,
+        "gt": target[None, None],
+        "mask": mask[None, None],
+        "params": {"y": y0, "mask": mask[None, None]},
+    }
 
 
 def load_data(path: str):

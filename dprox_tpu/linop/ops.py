@@ -353,7 +353,17 @@ class BlackBox(LinOp):
 
 
 def LinOpFactory(forward, adjoint, diag=None, freq_diag=False, norm_bound=1.0):
-    """Build a BlackBox-constructing closure (reference: blackbox.py:4-10)."""
+    """Build a BlackBox-constructing closure (reference: blackbox.py:4-10).
+
+    ``freq_diag=True`` declares the operator frequency-diagonal and routes
+    x-updates through the closed-form FFT division. The large-plane
+    half-spectrum (rfft) fast path additionally assumes the spectrum comes
+    from a REAL kernel and a REAL offset (conj-symmetric numerator,
+    even-symmetric gram diagonal). Return a real ``diag`` (|H|^2-style)
+    for full speed; a complex ``diag`` is detected and served by the
+    always-exact full-complex path instead (see
+    proxfn/sum_squares.py::_freq_xupdate).
+    """
 
     def build(arg):
         return BlackBox(arg, forward, adjoint, diag, freq_diag, norm_bound)

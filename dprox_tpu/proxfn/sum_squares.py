@@ -66,13 +66,19 @@ def _freq_xupdate(spatial, freq_const, diag, eps):
     (it is conj(H)*F(b) of real b and real-PSF OTFs H) and ``diag``
     even-symmetric (sums of |H|^2 plus real scalars). A non-symmetric
     divisor would make real(ifft(F/D)) != irfft((F/D)[..half]) — see
-    tests/test_algorithms.py::test_freq_xupdate_strategies_agree."""
+    tests/test_algorithms.py::test_freq_xupdate_strategies_agree.
+    When that symmetry cannot be established structurally — a complex
+    ``diag`` (e.g. a BlackBox/LinOpFactory freq_diag spectrum that is
+    not |H|^2-real) or a complex ``spatial`` carry — the full-complex
+    path is used at every size instead (ADVICE r4)."""
     ref = spatial if spatial is not None else freq_const
     Hs, Ws = int(ref.shape[-2]), int(ref.shape[-1])
     plane = Hs * Ws
     diag_is_arr = getattr(diag, "ndim", 0) >= 1 and diag.shape[-1] == Ws
+    sym_ok = not (jnp.iscomplexobj(diag)
+                  or (spatial is not None and jnp.iscomplexobj(spatial)))
 
-    if plane < _RFFT_MIN_PLANE:
+    if plane < _RFFT_MIN_PLANE or not sym_ok:
         F = freq_const if freq_const is not None else 0.0
         if spatial is not None:
             F = F + _fftn2(spatial)
@@ -101,7 +107,12 @@ def _freq_xupdate(spatial, freq_const, diag, eps):
         return a.reshape((n,) + tuple(a.shape[-2:]))
 
     sp_f, fc_f = flat(spatial), flat(fc)
-    dg_f = flat(dg) if diag_is_arr else None
+    # flat() also normalizes broadcast-shaped diags like (B,1,1,1) —
+    # rho expanded to bchw with every gram diagonal scalar — to one
+    # (1,1) slice each; passing such a diag whole into the per-slice
+    # body would broadcast the batch dims back in and break the final
+    # reshape (ADVICE r4). ndim<2 diags stay shared scalars.
+    dg_f = flat(dg)
 
     def body(i):
         return tail(sp_f[i] if sp_f is not None else None,

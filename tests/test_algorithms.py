@@ -67,6 +67,42 @@ class TestExactLeastSquares:
         got2 = np.asarray(ss._freq_xupdate(sp, None, 2.0, 1e-7))
         assert np.allclose(got2, want2, atol=1e-5)
 
+    def test_freq_xupdate_bcast_diag_map_branch(self, monkeypatch):
+        """ADVICE r4: a broadcast-shaped diag like (B,1,1,1) — every gram
+        diagonal scalar, rho expanded to bchw — must survive the lax.map
+        branch for batch>1 instead of breaking the final reshape."""
+        import importlib
+
+        ss = importlib.import_module("dprox_tpu.proxfn.sum_squares")
+        rng = np.random.RandomState(5)
+        sp = jnp.asarray(rng.rand(2, 3, 16, 16).astype(np.float32))
+        diag = jnp.asarray(rng.rand(2, 1, 1, 1).astype(np.float32)) + 1.0
+        want = np.asarray(ss._freq_xupdate(sp, None, diag, 1e-7))
+        monkeypatch.setattr(ss, "_RFFT_MIN_PLANE", 1)
+        monkeypatch.setattr(ss, "_MAP_MIN_PLANE", 1)
+        got = np.asarray(ss._freq_xupdate(sp, None, diag, 1e-7))
+        assert got.shape == want.shape == sp.shape
+        assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+    def test_freq_xupdate_complex_diag_falls_back(self, monkeypatch):
+        """ADVICE r4: a complex diag (BlackBox freq_diag spectrum whose
+        even symmetry cannot be established) must be served by the exact
+        full-complex path even above the rfft gate."""
+        import importlib
+
+        ss = importlib.import_module("dprox_tpu.proxfn.sum_squares")
+        rng = np.random.RandomState(7)
+        sp = jnp.asarray(rng.rand(1, 1, 16, 16).astype(np.float32))
+        # deliberately non-symmetric complex divisor
+        diag = jnp.asarray((rng.rand(1, 1, 16, 16)
+                            + 1j * rng.rand(1, 1, 16, 16)
+                            ).astype(np.complex64)) + 2.0
+        want = np.asarray(ss._freq_xupdate(sp, None, diag, 1e-7))
+        monkeypatch.setattr(ss, "_RFFT_MIN_PLANE", 1)
+        monkeypatch.setattr(ss, "_MAP_MIN_PLANE", 1)
+        got = np.asarray(ss._freq_xupdate(sp, None, diag, 1e-7))
+        assert np.allclose(got, want, atol=1e-6)
+
     def test_conv_least_squares_fft(self):
         # min ||conv(x) - b||^2 has exact solution via FFT division
         rng = np.random.RandomState(1)

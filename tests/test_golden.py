@@ -85,3 +85,129 @@ def _record_mode():  # pragma: no cover - helper for refreshing goldens
         rhos, sigmas = dp.log_descent(35, 10, 24)
         out = solver.solve(x0=b, rhos=rhos, lams=sigmas, max_iter=24)
         print(m, metrics.psnr(out, img))
+
+
+# --------------------------------------------------------------------------
+# Weight-drop golden activation (VERDICT r4 #8).
+#
+# The reference's absolute anchors (deconv 34.51 dB with the real
+# ffdnet_color.pth, /root/reference/tests/test_algorithms.py:19-103;
+# CSMRI 43.1 dB with unet-nm.pt + the Medical_128 sample,
+# /root/reference/tests/problem/test_inverse_problems.py:8-28) cannot be
+# reproduced offline: the HF weights and datasets are egress-blocked.
+# These tests ACTIVATE the moment the assets are dropped into any hub
+# cache dir (~/.cache/dprox, $DPROX_CACHE, weights/) and SKIP — not
+# pass — without them. One-command fetch when egress is available:
+#
+#   python scripts/fetch_reference_assets.py
+#
+# (equivalently DPROX_ALLOW_DOWNLOAD=1 + dprox_tpu.utils.hub.load_path
+# per asset; reference hub layout huggingface.py:36-66).
+# --------------------------------------------------------------------------
+
+def _hub_asset(rel_path):
+    from dprox_tpu.utils import hub
+
+    return hub.load_path(rel_path, repo_type="datasets",
+                         raise_on_miss=False)
+
+
+def _real_face():
+    try:
+        import scipy.datasets
+
+        return scipy.datasets.face()
+    except Exception:
+        return None
+
+
+def _fingerprint(path, first_key_shape=None):
+    """Offline analog of hash pinning: the official sha256 cannot be
+    known without egress, so verify the dropped file structurally (torch
+    state-dict with the expected leading tensor shape) and print its
+    sha256 so it can be pinned once verified against the goldens."""
+    import hashlib
+
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if "state_dict" in sd and not hasattr(next(iter(sd.values())), "shape"):
+        sd = sd["state_dict"]
+    first = next(iter(sd.values()))
+    if first_key_shape is not None:
+        assert tuple(first.shape) == tuple(first_key_shape), (
+            f"{path} does not look like the reference checkpoint: "
+            f"leading tensor {tuple(first.shape)} != {first_key_shape}")
+    with open(path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    print(f"sha256({path}) = {digest}")
+    return sd
+
+
+_FFDNET_COLOR = _hub_asset("pnp_denoisers/ffdnet_color.pth")
+_UNET_NM = _hub_asset("pnp_denoisers/unet-nm.pt")
+_CSMRI_MASK = _hub_asset("data/csmri/masks/radial_128_2.mat")
+_CSMRI_IMG = _hub_asset("data/csmri/Medical_128/Bust.jpg")
+
+# the reference's own tolerance (tests/test_algorithms.py:19-21)
+REF_TOL = 0.1
+# reference goldens per method (tests/test_algorithms.py:19-103)
+REF_DECONV_GOLDENS = {
+    "admm": 34.51, "ladmm": 34.51, "admm_vxu": 34.50,
+    "hqs": 34.08, "pc": 29.87, "pgd": 21.44,
+}
+
+
+@pytest.mark.skipif(
+    _FFDNET_COLOR is None or _real_face() is None,
+    reason="reference ffdnet_color.pth and/or the scipy face dataset are "
+           "not in the local caches (egress-blocked); drop them in to "
+           "activate — see scripts/fetch_reference_assets.py")
+@pytest.mark.parametrize("method", list(REF_DECONV_GOLDENS))
+def test_reference_weights_deconv_goldens(method):
+    """The reference's exact deconv problem and its published PSNRs
+    (reference tests/test_algorithms.py): real face, fspecial(15,5) PSF,
+    sum_squares(conv(x,psf)-b) + deep_prior(ffdnet_color) + nonneg,
+    reference default schedules (rho=1, lam=0.02, 24 iters)."""
+    # FFDNet color first conv: 96 filters over 3*4(unshuffle)+1(sigma)=13
+    _fingerprint(_FFDNET_COLOR, first_key_shape=(96, 13, 3, 3))
+    img = imaging.sample("face")
+    psf = imaging.point_spread_function(15, 5)
+    b = imaging.blurring(img, psf)
+    x = dp.Variable()
+    data = dp.sum_squares(dp.conv(x, psf) - b)
+    reg = dp.deep_prior(x, "ffdnet_color")
+    solver = dp.compile([data, reg, dp.nonneg(x)], method=method)
+    out = solver.solve(x0=b, max_iter=24)
+    psnr = metrics.psnr(out, img)
+    assert psnr == pytest.approx(REF_DECONV_GOLDENS[method],
+                                 abs=REF_TOL), (method, psnr)
+
+
+@pytest.mark.skipif(
+    _UNET_NM is None or _CSMRI_MASK is None or _CSMRI_IMG is None,
+    reason="reference unet-nm.pt and/or the Medical_128 CSMRI sample are "
+           "not in the local caches (egress-blocked); drop them in to "
+           "activate — see scripts/fetch_reference_assets.py")
+def test_reference_weights_csmri_golden():
+    """The reference's CSMRI anchor: 43.1 dB with the unet prior on the
+    real Bust.jpg sample (reference
+    tests/problem/test_inverse_problems.py:8-28)."""
+    from dprox_tpu.contrib import csmri
+
+    _fingerprint(_UNET_NM)
+    s = csmri.sample_reference("Bust.jpg")
+    assert s is not None
+    x = dp.Variable()
+    y = dp.Placeholder("y")
+    mask = dp.Placeholder("mask", batch=False)
+    data = dp.csmri(x, mask, y)
+    reg = dp.deep_prior(x, "unet")
+    solver = dp.compile(data + reg, method="admm")
+    rhos, sigmas = dp.log_descent(30, 20, 24)
+    out = solver.solve(x0=s["x0"], rhos=rhos, lams=sigmas, max_iter=24,
+                       params=s["params"], real_output=True)
+    psnr = metrics.psnr(np.asarray(out), s["gt"])
+    assert psnr == pytest.approx(43.1, abs=REF_TOL), psnr

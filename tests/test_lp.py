@@ -361,3 +361,42 @@ def test_fused_solve_respects_max_iters():
     # even when eval_freq does not divide it
     x, res = s.solve_fused(p, max_iters=57, eval_freq=25)
     assert res["iters"] == 57
+
+
+def test_fused_solve_size_gate_falls_back_to_chunked(monkeypatch):
+    """VERDICT r4 #4: past the probed fused-program envelope (~33k vars
+    on the axon backend) solve_fused must DEGRADE to the chunked solve
+    with a warning, not fault the backend. Gate exercised here by
+    shrinking the bound via DPROX_LP_FUSED_MAX_VARS."""
+    import warnings
+
+    from dprox_tpu.algo.lp import LPProblem, LPSolverADMM
+
+    rng = np.random.RandomState(11)
+    n = 20
+    c = rng.rand(n) + 0.1
+    A_ub = sp.csr_matrix(rng.rand(10, n))
+    b_ub = A_ub @ rng.rand(n) + 0.5
+    A_eq = sp.csr_matrix(rng.rand(3, n))
+    b_eq = A_eq @ rng.rand(n)
+    p = LPProblem(c, A_ub, b_ub, A_eq, b_eq)
+    s = LPSolverADMM(verbose=False)
+
+    monkeypatch.setenv("DPROX_LP_FUSED_MAX_VARS", str(n - 1))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        x, res = s.solve_fused(p, max_iters=5000)
+    assert any("envelope" in str(wi.message) for wi in w)
+    assert res["fallback"] == "chunked"
+    # converged result with the same results-dict contract as the fused path
+    assert res["r_norm"] < res["eps_primal"]
+    assert res["s_norm"] < res["eps_dual"]
+    assert 0 < res["iters"] <= 5000
+    x_ref, _, _ = s.solve(p, max_iters=5000, residual_balance=True)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-6)
+
+    # above the gate the genuinely fused path still runs
+    monkeypatch.setenv("DPROX_LP_FUSED_MAX_VARS", "33000")
+    x2, res2 = s.solve_fused(p, max_iters=5000)
+    assert "fallback" not in res2
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x2), atol=1e-4)

@@ -57,11 +57,23 @@ class DEQSolver:
     One whole solver iteration becomes the fixed-point map over the
     packed state (reference: solver.py:57-109). Learnable global (r, l)
     multipliers live in the explicit ``params`` dict under 'deq_r'/'deq_l'.
+
+    ``precision``: jax matmul-precision context for the whole
+    fixed-point solve, default ``"highest"``. Equilibrium solving needs
+    the residual f(z)-z computed to accuracy finer than its own
+    magnitude: under the TPU default-bf16 dot_general/conv accumulation,
+    per-application noise in f reaches the scale of the residuals
+    Anderson mixes, and the finite-budget solve stalls along the
+    transient — measured 1.6 dB CPU/TPU divergence on the trained CSMRI
+    DEQ grid, collapsing to 0.001 dB at HIGHEST
+    (benchmarks/deq_divergence.py; pinning only the engine's own
+    einsums was measured insufficient — the noise enters through f).
+    Set ``precision=None`` to inherit the ambient default.
     """
 
     def __init__(self, solver: Algorithm, learned_params: bool = False,
                  f_thres: int = 40, b_thres: int = 40, solver_type: str = "anderson",
-                 rhos=None, lams=None):
+                 rhos=None, lams=None, precision: Optional[str] = "highest"):
         self.internal = solver
         self.learned_params = learned_params
         self.f_thres = f_thres
@@ -69,6 +81,7 @@ class DEQSolver:
         self.solver_type = solver_type
         self.rhos = rhos
         self.lams = lams
+        self.precision = precision
         self._jit_cache = {}
 
     def init_params(self):
@@ -104,7 +117,7 @@ class DEQSolver:
         # (mutating f_thres etc. after a solve would otherwise silently
         # reuse the stale compiled program)
         key = (real_output, self.learned_params, self.f_thres,
-               self.b_thres, self.solver_type)
+               self.b_thres, self.solver_type, self.precision)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key](encode_complex(x0), rhos_arr, lam_list,
@@ -119,6 +132,14 @@ class DEQSolver:
         solver = self.internal
 
         def run(x0, rhos_arr, lam_list, params):
+            if self.precision is not None:
+                # trace-time context: the cached jit program bakes the
+                # raised precision into every dot/conv of the solve
+                with jax.default_matmul_precision(self.precision):
+                    return body(x0, rhos_arr, lam_list, params)
+            return body(x0, rhos_arr, lam_list, params)
+
+        def body(x0, rhos_arr, lam_list, params):
             x0 = decode_complex(x0)
             params = decode_complex(params)
             rho = rhos_arr[0]

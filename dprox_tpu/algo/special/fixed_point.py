@@ -15,6 +15,20 @@ import jax
 import jax.numpy as jnp
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _einsum(*a):
+    # All contractions over the flattened state vector run at HIGHEST
+    # precision: the TPU default-bf16 dot_general corrupts Anderson's
+    # Gram matrix / mixing weights and Broyden's rank-one updates, which
+    # halted the DEQ's convergence along the transient and moved the
+    # finite-budget equilibrium 1.6 dB between backends
+    # (benchmarks/deq_divergence.py; same failure class as the PCG note
+    # in CLAUDE.md). Cost is negligible next to f itself.
+    return jnp.einsum(*a, precision=_HI)
+
+
 def _flat(x):
     return x.reshape(x.shape[0], -1)
 
@@ -50,13 +64,13 @@ def anderson(f: Callable, x0: jnp.ndarray, m: int = 6, lam: float = 1e-4,
     def mix(X, F, k, n):
         """One Anderson update with n active history entries (n static)."""
         G = F[:, :n] - X[:, :n]
-        Hm = jnp.einsum("bnd,bmd->bnm", G, jnp.conj(G)) + lam * jnp.eye(n, dtype=dtype)
+        Hm = _einsum("bnd,bmd->bnm", G, jnp.conj(G)) + lam * jnp.eye(n, dtype=dtype)
         H = jnp.zeros((bsz, n + 1, n + 1), dtype)
         H = H.at[:, 0, 1:].set(1.0).at[:, 1:, 0].set(1.0)
         H = H.at[:, 1:, 1:].set(Hm)
         alpha = jnp.linalg.solve(H, y[:, : n + 1])[:, 1:, 0]  # [B, n]
-        xk = beta * jnp.einsum("bn,bnd->bd", alpha, F[:, :n]) + \
-            (1 - beta) * jnp.einsum("bn,bnd->bd", alpha, X[:, :n])
+        xk = beta * _einsum("bn,bnd->bd", alpha, F[:, :n]) + \
+            (1 - beta) * _einsum("bn,bnd->bd", alpha, X[:, :n])
         fk = ff(xk).astype(dtype)
         X = X.at[:, k % m].set(xk)
         F = F.at[:, k % m].set(fk)
@@ -81,13 +95,13 @@ def anderson(f: Callable, x0: jnp.ndarray, m: int = 6, lam: float = 1e-4,
     def body(carry):
         X, F, kk, _ = carry
         G = F - X
-        Hm = jnp.einsum("bnd,bmd->bnm", G, jnp.conj(G)) + lam * jnp.eye(m, dtype=dtype)
+        Hm = _einsum("bnd,bmd->bnm", G, jnp.conj(G)) + lam * jnp.eye(m, dtype=dtype)
         H = jnp.zeros((bsz, m + 1, m + 1), dtype)
         H = H.at[:, 0, 1:].set(1.0).at[:, 1:, 0].set(1.0)
         H = H.at[:, 1:, 1:].set(Hm)
         alpha = jnp.linalg.solve(H, y)[:, 1:, 0]
-        xk = beta * jnp.einsum("bn,bnd->bd", alpha, F) + \
-            (1 - beta) * jnp.einsum("bn,bnd->bd", alpha, X)
+        xk = beta * _einsum("bn,bnd->bd", alpha, F) + \
+            (1 - beta) * _einsum("bn,bnd->bd", alpha, X)
         fk = ff(xk).astype(dtype)
         idx = kk % m
         X2 = jax.lax.dynamic_update_index_in_dim(X, xk, idx, axis=1)
@@ -120,10 +134,10 @@ def broyden(f: Callable, x0: jnp.ndarray, threshold: int = 40, eps: float = 1e-3
 
     def matvec(Us, VTs, v):
         # (-I + U V^T) v
-        return -v + jnp.einsum("bdk,bk->bd", Us, jnp.einsum("bkd,bd->bk", VTs, v))
+        return -v + _einsum("bdk,bk->bd", Us, _einsum("bkd,bd->bk", VTs, v))
 
     def rmatvec(Us, VTs, v):
-        return -v + jnp.einsum("bkd,bk->bd", VTs, jnp.einsum("bdk,bd->bk", Us, v))
+        return -v + _einsum("bkd,bk->bd", VTs, _einsum("bdk,bd->bk", Us, v))
 
     update = -matvec(Us, VTs, gx)
 
@@ -139,7 +153,7 @@ def broyden(f: Callable, x0: jnp.ndarray, threshold: int = 40, eps: float = 1e-3
         dx = x_new - x
         dg = gx_new - gx
         vT = rmatvec(Us, VTs, dx)
-        denom = jnp.einsum("bd,bd->b", vT, dg)[:, None]
+        denom = _einsum("bd,bd->b", vT, dg)[:, None]
         u = (dx - matvec(Us, VTs, dg)) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
         vT = jnp.nan_to_num(vT)
         u = jnp.nan_to_num(u)

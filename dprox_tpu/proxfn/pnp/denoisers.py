@@ -278,13 +278,15 @@ class TVDenoiser(Denoiser):
         self.use_3dtv = use_3dtv
 
     def denoise(self, x, sigma, params=None):
-        B, C, H, W = x.shape
-        fn = tv_denoising3d if self.use_3dtv else tv_denoising
+        # CHW layout: lanes along W instead of the C=3 band axis (the
+        # reference-layout [H,W,C] form measured ~6x off roofline at
+        # 2048^2 from 2.3% lane utilization — models/tv.py)
+        from dprox_tpu.models.tv import tv_denoising3d_chw, tv_denoising_chw
 
-        def one(img):  # [C,H,W] -> [H,W,C]
-            hwc = jnp.transpose(img, (1, 2, 0))
-            out = fn(hwc, jnp.asarray(sigma, x.dtype), self.iter_num)
-            return jnp.transpose(out, (2, 0, 1))
+        fn = tv_denoising3d_chw if self.use_3dtv else tv_denoising_chw
+
+        def one(img):  # [C,H,W]
+            return fn(img, jnp.asarray(sigma, x.dtype), self.iter_num)
 
         return jax.vmap(one)(x)
 

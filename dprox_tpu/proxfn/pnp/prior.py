@@ -136,6 +136,16 @@ def get_denoiser(kind: str) -> Denoiser:
         from .denoisers import DeepTVDenoiser
 
         return DeepTVDenoiser(get_denoiser("distilled_color"), weight=0.6)
+    if kind == "distilled_color_tv_bf16":
+        # flagship with the deep branch in bfloat16 — measured
+        # quality-identical on deconv (27.811 vs 27.81 dB at 2048^2,
+        # 34.98 both ways at 512^2) and worth +7% end-to-end at 2048^2
+        # (+21% on the isolated net at 512^2 where it is MXU-bound);
+        # opt-in because bf16 quality cost is task-dependent
+        from .denoisers import BF16Denoiser, DeepTVDenoiser
+
+        return DeepTVDenoiser(BF16Denoiser(get_denoiser("distilled_color")),
+                              weight=0.6)
     if kind == "ensemble_tv":
         # strongest shipped prior: FFDNet+DRUNet ensemble (decorrelated
         # residual errors) fused with TV. Measured held-out hopper deconv

@@ -37,6 +37,16 @@ PSF_SIGMAS = (1.5, 2.5, 5.0)
 PSF_SIZE = 15
 
 
+def n_aux(task):
+    # observation-only conditioning channels, mirroring the reference's
+    # CSMRI env obs (y0/mask/sigma channels, reference
+    # contrib/csmri.py:174-227): the measurement noise level, plus the
+    # blur width for deconv (both known at solve time). Without them the
+    # policy emits a compromise schedule and loses 5-10 dB to aggressive
+    # hand schedules on the easiest (noiseless) cells — measured.
+    return 2 if task == "deconv" else 1
+
+
 def build_tuner(task):
     x = dp.Variable()
     b = dp.Placeholder("b")
@@ -46,7 +56,18 @@ def build_tuner(task):
     else:  # demosaic
         data = dp.sum_squares(dp.mosaic(x) - b)
     solver = dp.compile(data + dp.deep_prior(x, "tv"), method="admm")
-    return AutoTuneSolver(solver, action_pack=5, max_episode_step=6)
+    naux = n_aux(task)
+
+    def pack(variables, x0c, T, aux):
+        B, _, H, W = x0c.shape
+        amap = jnp.broadcast_to(
+            jnp.asarray(aux, jnp.float32)[:, :, None, None],
+            (B, naux, H, W))
+        return jnp.concatenate([variables, x0c, T, amap], axis=1)
+
+    return AutoTuneSolver(solver, action_pack=5, max_episode_step=6,
+                          ob_dim=solver.state_dim + 2 + naux,
+                          custom_policy_ob_pack_fn=pack)
 
 
 def make_samples(task, n, seed0, extra_textures=False):
@@ -66,6 +87,8 @@ def make_samples(task, n, seed0, extra_textures=False):
             psf13 = np.tile(np.transpose(psf, (2, 0, 1))[None],
                             (1, 3, 1, 1)).astype(np.float32)
             out.append({"gt": gt, "x0": b, "sigma_n": noise,
+                        "aux": np.asarray([[noise, sig / 10.0]],
+                                          np.float32),
                         "params": {"b": b, "psf": psf13}})
         else:
             b = np.asarray(imaging.mosaicing(jnp.asarray(gt)))
@@ -74,6 +97,7 @@ def make_samples(task, n, seed0, extra_textures=False):
             x0 = np.asarray(dp.utils.demosaic_from_mosaiced(
                 jnp.asarray(b))).astype(np.float32)
             out.append({"gt": gt, "x0": x0, "sigma_n": noise,
+                        "aux": np.asarray([[noise]], np.float32),
                         "params": {"b": b}})
     return out
 
@@ -114,6 +138,7 @@ def baseline_psnr(task, sample, max_iter=EPISODE_ITERS):
 
 def tuned_psnr(tuner, sample, params=None):
     out = tuner.solve(sample["x0"], params=params,
+                      aux_state=sample["aux"],
                       solve_params=sample["params"])
     return metrics.psnr(np.clip(np.real(np.asarray(out)), 0, 1),
                         sample["gt"])
@@ -169,14 +194,16 @@ def main():
         order = np.random.RandomState(ep).permutation(len(train))
         for i in order:
             s = train[i]
-            dataset.append(dict({"x0": s["x0"], "gt": s["gt"]},
+            dataset.append(dict({"x0": s["x0"], "gt": s["gt"],
+                                 "__aux__": s["aux"]},
                                 **s["params"]))
     dataset = dataset[:args.steps]
 
     print(f"[{args.task}] training: {len(dataset)} steps over "
           f"{len(train)} problems", flush=True)
     t0 = time.time()
-    params = tuner.train(dataset, epochs=1, lr=args.lr, log_every=20)
+    params = tuner.train(dataset, epochs=1, lr=args.lr, log_every=20,
+                         loss_kind="logmse")
     print(f"trained in {time.time() - t0:.0f} s", flush=True)
 
     gain = evaluate(args.task, tuner, heldout, params, tag="heldout")

@@ -119,6 +119,21 @@ class DEQSolver:
             rhos = self.rhos
         if lams is None:
             lams = self.lams
+        if self.anneal > 1:
+            # a longer schedule (e.g. a 24-entry log_descent) provides
+            # the first `anneal` levels
+            def _trunc(v):
+                try:
+                    if len(v) > self.anneal:
+                        return v[: self.anneal]
+                except TypeError:
+                    pass
+                return v
+
+            rhos = _trunc(rhos)
+            lams = (jax.tree.map(_trunc, lams)
+                    if isinstance(lams, (dict, list, tuple))
+                    else _trunc(lams))
         rhos_arr, lam_list = self.internal.defaults(rhos, lams, self.anneal)
 
         run = self._solve_fn(real_output)

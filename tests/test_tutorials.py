@@ -37,22 +37,23 @@ SUBS = {
     0: [('imaging.sample("face")', 'imaging.sample("face")[:, :, :64, :64]'),
         ('denoiser="ffdnet_color"', 'denoiser="tv"')],
     2: [("x = linear_solve(A_fn, b,", "x_sol = linear_solve(A_fn, b_vec,")],
-    4: [("epochs=10,", "epochs=1,"),
+    4: [("anneal=6, f_thres=4", "anneal=3, f_thres=3")],
+    5: [("epochs=10,", "epochs=1,"),
         ('savedir="ckpts"', "savedir=str(tmp_path)")],
-    5: [("csmri.sample()", "csmri.sample(size=64)"),
+    6: [("csmri.sample()", "csmri.sample(size=64)"),
         ('"unet"', '"tv"')],
-    6: [("pretrain_steps=10,", "pretrain_steps=1,"),
+    7: [("pretrain_steps=10,", "pretrain_steps=1,"),
         ("residual_balance=True)", "residual_balance=True, verbose=False,"
          " max_iters=400)")],
-    7: [("n_periods=128, n_tech=8, n_scenarios=8",
+    8: [("n_periods=128, n_tech=8, n_scenarios=8",
          "n_periods=16, n_tech=4, n_scenarios=8"),
         ("pretrain_steps=10)", "pretrain_steps=1, verbose=False)")],
-    8: [("max_iter=24,", "max_iter=6,")],
-    9: [("max_iter=24)", "max_iter=4)"),
-        ("max_iter=50)", "max_iter=5)")],
-    11: [("max_iter=200,", "max_iter=40,"),
+    9: [("max_iter=24,", "max_iter=6,")],
+    10: [("max_iter=24)", "max_iter=4)"),
+         ("max_iter=50)", "max_iter=5)")],
+    12: [("max_iter=200,", "max_iter=40,"),
          ("max_iter=300,", "max_iter=60,")],
-    12: [("epochs=3, batch_size=16", "epochs=1, batch_size=4, warmup=4")],
+    13: [("epochs=3, batch_size=16", "epochs=1, batch_size=4, warmup=4")],
 }
 
 # one namespace shared across blocks, like cells of a notebook
@@ -96,11 +97,11 @@ def test_tutorial_blocks_execute(tmp_path):
                 f"tutorial block {i} changed: substitution anchor {pat!r} "
                 "missing — update docs/TUTORIALS.md and SUBS together")
             src = src.replace(pat, rep)
-        if i == 9:
+        if i == 10:
             # blocks after the CSMRI one refer to the DECONV solver from
-            # the Primitives block (block 5 rebinds the name)
+            # the Primitives block (block 6 rebinds the name)
             NS["solver"] = NS["solver_deconv"]
-        if i == 12:
+        if i == 13:
             # the RL block's training dataset carries (x0, gt) pairs
             NS["dataset"] = [{"x0": NS["x0"],
                               "gt": imaging.sample("face")[:, :, :64, :64]}] * 3
@@ -113,7 +114,7 @@ def test_tutorial_blocks_execute(tmp_path):
         finally:
             if i == 3:
                 NS["solver_deconv"] = NS["solver"]
-            if i == 6:
+            if i == 7:
                 # the LP tutorial enables x64 globally; undo
                 jax.config.update("jax_enable_x64", False)
     assert not failures, "\n\n".join(

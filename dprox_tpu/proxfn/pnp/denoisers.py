@@ -29,6 +29,27 @@ def _nhwc_to_nchw(x):
     return jnp.transpose(x, (0, 3, 1, 2))
 
 
+def _ffdnet_forward(module, params, x_nhwc, sigma):
+    """FFDNet forward with the boundary-fused path on TPU.
+
+    ``models.ffdnet.fused_apply`` absorbs the pixel-(un)shuffle
+    relayouts into the first/last convs — measured -28..-32% per
+    denoiser call on v5e at 512^2..2048^2 (models/ffdnet.py docstring).
+    Same function; TPU-only by default because the win comes from the
+    TPU copy emitter's 6-D-transpose pathology (CPU prefers the plain
+    path). DPROX_FFDNET_FUSED=1/0 forces it on/off for A/B and tests.
+    """
+    import os
+
+    flag = os.environ.get("DPROX_FFDNET_FUSED", "")
+    if flag == "1" or (flag != "0"
+                       and jax.default_backend() in ("tpu", "axon")):
+        from ...models.ffdnet import fused_apply
+
+        return fused_apply(module, params, x_nhwc, jnp.asarray(sigma))
+    return module.apply(params, x_nhwc, jnp.asarray(sigma))
+
+
 class Denoiser:
     """Base wrapper (reference: denoisers/base.py:5-18)."""
 
@@ -98,7 +119,7 @@ class FFDNetDenoiser(Denoiser2D):
 
     def _denoise_gray(self, x, sigma, params=None):
         p = params if params is not None else self.params
-        out = self.module.apply(p, _nchw_to_nhwc(x), jnp.asarray(sigma))
+        out = _ffdnet_forward(self.module, p, _nchw_to_nhwc(x), sigma)
         return _nhwc_to_nchw(out)
 
 
@@ -120,7 +141,7 @@ class FFDNetColorDenoiser(Denoiser):
 
     def denoise(self, x, sigma, params=None):
         p = params if params is not None else self.params
-        out = self.module.apply(p, _nchw_to_nhwc(x), jnp.asarray(sigma))
+        out = _ffdnet_forward(self.module, p, _nchw_to_nhwc(x), sigma)
         return _nhwc_to_nchw(out)
 
 

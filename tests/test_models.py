@@ -32,6 +32,44 @@ def test_ffdnet_color_shapes():
     assert m.apply(p, x, 0.1).shape == x.shape
 
 
+def test_ffdnet_fused_apply_matches_module():
+    """The boundary-fused forward (6x6-stride-2 absorbed unshuffle +
+    interior-pad depth-to-space, models/ffdnet.py::fused_apply) is the
+    same function as module.apply — checked on CPU f32 over gray/color,
+    residual on/off, odd sizes, batch, and scalar/per-sample sigma."""
+    from dprox_tpu.models.ffdnet import fused_apply
+
+    rng = np.random.RandomState(0)
+    for in_nc, residual in [(1, False), (1, True), (3, True)]:
+        m = FFDNet(in_nc=in_nc, out_nc=in_nc, nc=16, nb=5, residual=residual)
+        p = m.init(KEY, jnp.zeros((1, 12, 12, in_nc)), jnp.zeros(()))
+        for shape, sigma in [((1, 16, 16), 0.1),
+                             ((2, 15, 17), jnp.asarray([0.05, 0.3]))]:
+            x = jnp.asarray(rng.rand(*shape, in_nc).astype(np.float32))
+            ref = m.apply(p, x, sigma)
+            got = fused_apply(m, p, x, jnp.asarray(sigma))
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5)
+
+
+def test_ffdnet_fused_wrapper_toggle(monkeypatch):
+    """DPROX_FFDNET_FUSED forces the fused/plain path through the
+    denoiser wrappers; both agree (and the default CPU path is plain)."""
+    from dprox_tpu.proxfn.pnp.denoisers import (FFDNetColorDenoiser,
+                                                FFDNetDenoiser)
+
+    rng = np.random.RandomState(1)
+    for den in (FFDNetDenoiser(nc=8, nb=4), FFDNetColorDenoiser(nc=8, nb=4)):
+        x = jnp.asarray(rng.rand(1, 3, 18, 18).astype(np.float32))
+        monkeypatch.setenv("DPROX_FFDNET_FUSED", "0")
+        ref = den.denoise(x, 0.1)
+        monkeypatch.setenv("DPROX_FFDNET_FUSED", "1")
+        got = den.denoise(x, 0.1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+
 def test_dncnn_ircnn():
     for m in (DnCNN(nb=5), IRCNN()):
         x = jnp.zeros((1, 16, 16, 1))

@@ -313,3 +313,124 @@ def fused_cg_tail(x, r, p, Ap, rs, force: bool = False,
         interpret=interpret,
     )(x2, r2, p2, Ap2, rs2)
     return xo.reshape(shp), ro.reshape(shp), po.reshape(shp), rso[:, 0]
+
+
+# --------------------------------------------------------------------------- #
+# Fused TV dual-ascent denoiser: all iterations in one VMEM-resident tile pass
+# --------------------------------------------------------------------------- #
+
+def _tv_ref(y0, lam, iterations):
+    from ..models.tv import tv_denoising_chw
+
+    return tv_denoising_chw(y0, lam, iterations)
+
+
+def _tv_kernel(iterations, halo, TH, T_w, W_img, H_img, y_hbm, lam_ref,
+               out_ref, yt, sem):
+    """One full-width row stripe: run ALL TV iterations on a halo-padded
+    VMEM stripe, then write the valid center rows.
+
+    Formulation: duals are stored at full stripe size with boundary
+    duals PINNED to zero by global-coordinate masks — this reproduces
+    the edge formulas of models/tv.py::tv_denoising_chw exactly
+    (out[0] = -z[0], out[-1] = z[-2] are the uniform stencil
+    z[j-1]-z[j] with zeros outside the valid dual range [0, n-2]). x0
+    is recomputed from y0 each iteration (only duals carry state), so
+    stripe-edge garbage from the wrap-around shifts advances one row
+    per iteration and the halo r = iterations keeps the written center
+    exact. Full-width stripes keep the manual DMA to a single
+    sublane-aligned dynamic offset — 2-D halo windows lower to a
+    tpu.memref_slice this backend rejects.
+    """
+    i = pl.program_id(0)
+    r = halo  # >= iterations; rounded so the DMA height is 8-aligned
+    T_h = TH + 2 * r
+    dma = pltpu.make_async_copy(y_hbm.at[:, pl.ds(i * TH, T_h), :], yt, sem)
+    dma.start()
+    dma.wait()
+    y0 = yt[:]
+    lam = lam_ref[0, 0]
+    alpha = 5.0
+
+    # global coords of local cells (padded origin sits at global -r)
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (T_h, T_w), 0) + i * TH - r
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (T_h, T_w), 1) - r
+    maskh = ((col_g >= 0) & (col_g <= W_img - 2)
+             & (row_g >= 0) & (row_g <= H_img - 1)).astype(y0.dtype)[None]
+    maskv = ((row_g >= 0) & (row_g <= H_img - 2)
+             & (col_g >= 0) & (col_g <= W_img - 1)).astype(y0.dtype)[None]
+
+    def sh_p(x, axis):  # x[..., k-1] (shift +1), wrap = tile-edge garbage
+        if axis == 2:
+            return jnp.concatenate([x[..., -1:], x[..., :-1]], 2)
+        return jnp.concatenate([x[:, -1:, :], x[:, :-1, :]], 1)
+
+    def sh_m(x, axis):  # x[..., k+1] (shift -1)
+        if axis == 2:
+            return jnp.concatenate([x[..., 1:], x[..., :1]], 2)
+        return jnp.concatenate([x[:, 1:, :], x[:, :1, :]], 1)
+
+    zh = jnp.zeros_like(y0)
+    zv = jnp.zeros_like(y0)
+    x0 = y0
+    for _ in range(iterations):
+        dht = sh_p(zh, 2) - zh       # zh[j-1] - zh[j]
+        dvt = sh_p(zv, 1) - zv
+        x0 = y0 - 0.5 * (dht + dvt)
+        dh = sh_m(x0, 2) - x0        # x0[j+1] - x0[j]
+        dv = sh_m(x0, 1) - x0
+        zh = maskh * jnp.clip(zh + (1.0 / alpha) * dh, -lam / 2, lam / 2)
+        zv = maskv * jnp.clip(zv + (1.0 / alpha) * dv, -lam / 2, lam / 2)
+    Wo = -(-W_img // 128) * 128  # output stripe width (lane-aligned)
+    out_ref[:] = x0[:, r:r + TH, r:r + Wo]
+
+
+def tv_denoise_chw_pallas(y0, lam, iterations: int = 10, tile: int = 128,
+                          force: bool = False, interpret: bool = False):
+    """TV dual ascent on [B, H, W] with every iteration fused in VMEM.
+
+    XLA cannot fuse across the fori_loop iterations of the reference
+    formulation, so each of the ~6 stencil ops per iteration round-trips
+    the full plane through HBM — measured 9.2 ms for 10 iterations at
+    3x2048^2 on v5e (~2.5x off the bandwidth roofline). This kernel
+    holds a halo-padded tile in VMEM across ALL iterations (halo =
+    iterations, so tiles stay exact; masks pin the boundary duals).
+    Numerically identical to models/tv.py::tv_denoising_chw (same op
+    order, all-VPU f32; tests/test_pallas_ops.py pins edge agreement in
+    interpret mode). Requires iterations <= (tile - 8) // 2; callers
+    gate on that and fall back to the jnp path.
+    """
+    if not (_HAS_PALLAS and (_on_tpu() or force or interpret)):
+        return _tv_ref(y0, lam, iterations)
+    C, H, W = y0.shape
+    # halo >= iterations, rounded up so the DMA'd stripe height stays
+    # 8-aligned (Mosaic requires sublane-aligned slice shapes)
+    r = -(-int(iterations) // 4) * 4
+    # full-width row stripes: output blocks must be (x8, x128) in their
+    # last two dims, so stripe height is 8-aligned and the width is
+    # lane-padded; the DMA'd stripe carries the 2r halo on top
+    TH = ((tile - 2 * r) // 8) * 8
+    if TH < 8:
+        return _tv_ref(y0, lam, iterations)
+    Wo = -(-W // 128) * 128
+    nH = -(-H // TH)
+    Hp = (nH - 1) * TH + TH + 2 * r
+    # the DMA'd stripe width must itself be lane-aligned
+    Wp = -(-(Wo + 2 * r) // 128) * 128
+    ypad = jnp.pad(y0, ((0, 0), (r, Hp - H - r), (r, Wp - W - r)))
+    lam2 = jnp.asarray(lam, y0.dtype).reshape(1, 1)
+    out = pl.pallas_call(
+        partial(_tv_kernel, int(iterations), r, TH, Wp, W, H),
+        grid=(nH,),
+        out_shape=jax.ShapeDtypeStruct((C, nH * TH, Wo), y0.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((C, TH, Wo), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((C, TH + 2 * r, Wp), y0.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None),
+        interpret=interpret,
+    )(ypad, lam2)
+    return out[:, :H, :W]

@@ -253,12 +253,13 @@ _FLOOR_DATA = {
     "csmri_fast": {"history": [13318.7, 15044.8, 15209.3, 23767.9,
                                22369.5],
                    "jitter": 0.13},
-    # 534.7 is the first post-FFDNet-boundary-fusion capture (r5,
-    # models/ffdnet.py::fused_apply — flagship denoiser 1.9x at 512^2);
-    # the floor stays min-of-history by the formula, i.e. conservative
-    # across the step change.
+    # 534.7 is the first post-FFDNet-boundary-fusion capture and 563.6
+    # adds the fused-TV Pallas kernel (r5, models/ffdnet.py::fused_apply
+    # + ops/pallas_kernels.py::tv_denoise_chw_pallas); the floor stays
+    # min-of-history by the formula, i.e. conservative across the step
+    # changes.
     "pnp_deep": {"history": [305.9, 318.6, 313.6, 320.2, 326.2, 319.6,
-                             406.6, 415.0, 404.9, 534.7],
+                             406.6, 415.0, 404.9, 534.7, 563.6],
                  "jitter": 0.03},
 }
 R2_FLOORS = {k: round(min(v["history"]) * (1 - 2 * v["jitter"]), 1)

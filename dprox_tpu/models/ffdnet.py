@@ -64,7 +64,12 @@ def fused_apply(module: FFDNet, params, x, sigma):
       ``[x, sigma_map]`` tensor — ``W6[2di+dy, 2dj+dx, c] =
       K1[di, dj, c*4 + dy*2 + dx]`` with the sigma tap placed at the
       (dy, dx) = (0, 0) sub-offset (the sigma map is spatially
-      constant, and zero-padding validity coincides at both scales);
+      constant, and zero-padding validity coincides at both scales).
+      The 6x6 stride-2 form is then refactored once more into a
+      POLYPHASE 3x3 conv (see inline comment) because cin=4 lane-pads
+      to 128 on the MXU — the row-deinterleave + minor-reshape fold
+      raises true cin to 16 with zero intra-row data movement,
+      3.1x on the layer at 2048^2 (benchmarks/first_conv_probe.py);
     * last conv + depth-to-space: the four (dy, dx) phase maps are
       interior-padded (dilated) and summed — a pure-zero-overlap
       scatter that XLA emits as cheap pads + adds.
@@ -90,11 +95,31 @@ def fused_apply(module: FFDNet, params, x, sigma):
     Kd = jnp.transpose(Kd, (0, 3, 1, 4, 2, 5)).reshape(6, 6, in_nc, nc)
     Ks = jnp.zeros((3, 2, 3, 2, nc), K1.dtype)
     Ks = Ks.at[:, 0, :, 0].set(K1[:, :, in_nc * 4, :]).reshape(6, 6, 1, nc)
-    W6 = jnp.concatenate([Kd, Ks], axis=2)
+    W6 = jnp.concatenate([Kd, Ks], axis=2)  # 6x6 stride-2 equivalent
+
+    # The 6x6 stride-2 cin=4 conv itself runs AT the MXU roofline but
+    # lane-pads cin 4->128, burning 97% of it (measured 5.5 ms at
+    # 2048^2, ~5.3 true TFLOP/s). Polyphase fix with NO intra-row data
+    # movement: channels-last space-to-depth is a row-deinterleave plus
+    # a free minor-dim reshape (a row (W, cf) viewed as (W/2, 2*cf) IS
+    # the column-polyphase layout), and the channel permutation is
+    # absorbed into the weights. One 3x3 cin=4*cf conv on the folded
+    # half-res tensor is algebraically identical to the 6x6 stride-2
+    # conv (full-res zero pad 2 == half-res zero pad 1 in every phase).
+    # Measured (benchmarks/first_conv_probe.py, v5e): 7.1->2.3 ms at
+    # 2048^2, 2.1->1.2 at 1024^2, tie at 512^2 — not size-gated.
+    cf = in_nc + 1
+    W16 = jnp.transpose(W6.reshape(3, 2, 3, 2, cf, nc),
+                        (0, 2, 1, 3, 4, 5)).reshape(3, 3, 4 * cf, nc)
 
     m = jnp.ones_like(x[..., :1]) * sigma
+    xm = jnp.concatenate([x, m], axis=-1)
+    n_, hh, ww, _ = xm.shape
+    ev = xm[:, 0::2].reshape(n_, hh // 2, ww // 2, 2 * cf)
+    od = xm[:, 1::2].reshape(n_, hh // 2, ww // 2, 2 * cf)
+    z = jnp.concatenate([ev, od], axis=-1)
     y = jax.lax.conv_general_dilated(
-        jnp.concatenate([x, m], axis=-1), W6, (2, 2), ((2, 2), (2, 2)),
+        z, W16, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1
     y = jnp.maximum(y, 0.0)
 

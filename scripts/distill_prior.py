@@ -90,22 +90,83 @@ def make_cache(teacher, corpus, n, size, batch, sigma_lo, sigma_hi, seed):
     return {k: np.concatenate(v) for k, v in outs.items()}
 
 
+def widen_params(params, narrow, nc_old, nb):
+    """Function-preserving net2net widening of an FFDNet param pytree.
+
+    `params` is a freshly initialized nc-wide pytree, `narrow` an
+    nc_old-wide trained one (nc_old < nc). For every conv the old
+    weights land in the leading [.., :cin_old, :cout_old] block; the
+    new-INPUT columns feeding OLD output channels are zeroed (so every
+    pre-existing feature map is bit-identical at init), while the new
+    OUTPUT rows keep their fresh random init (they are consumed through
+    zeroed columns downstream, so the network function is exactly the
+    narrow student's — but the fresh rows produce nonzero activations,
+    so gradients reach the new capacity immediately; a zero/zero pad
+    would leave it dead). weights/README finding 21: nc=128 costs the
+    same v5e wall-clock as nc=96, so the extra capacity is free.
+    """
+    wide = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    for i in range(nb):
+        kw = wide["params"][f"Conv_{i}"]["Conv_0"]
+        kn = narrow["params"][f"Conv_{i}"]["Conv_0"]
+        Kw, Kn = kw["kernel"], kn["kernel"]
+        ci, co = Kn.shape[2], Kn.shape[3]
+        K = Kw
+        if Kw.shape[2] > ci:  # zero new-input columns for old outputs
+            K = K.at[:, :, ci:, :co].set(0.0)
+        K = K.at[:, :, :ci, :co].set(Kn)
+        b = kw["bias"].at[:co].set(kn["bias"])
+        wide["params"][f"Conv_{i}"]["Conv_0"] = {"kernel": K, "bias": b}
+    return wide
+
+
 def train_student(cache, nc, nb, steps, batch, lr, w_gt, seed, init_path,
-                  chunk=100, channels=3):
+                  chunk=100, channels=3, widen_from=None, ckpt_path=None,
+                  heldout_n=64):
     model = FFDNet(in_nc=channels, out_nc=channels, nc=nc, nb=nb,
                    residual=True)
     params = model.init(jax.random.key(seed),
                         jnp.zeros((1, 64, 64, channels)), jnp.zeros(()))
-    if init_path and os.path.exists(init_path):
+    if widen_from and os.path.exists(widen_from):
+        # widen a narrower trained student into this width
+        nc_old = None
+        with open(widen_from, "rb") as f:
+            raw = f.read()
+        for cand in (96, 64, 32):
+            narrow_model = FFDNet(in_nc=channels, out_nc=channels, nc=cand,
+                                  nb=nb, residual=True)
+            narrow = narrow_model.init(jax.random.key(0),
+                                       jnp.zeros((1, 64, 64, channels)),
+                                       jnp.zeros(()))
+            try:
+                narrow = serialization.from_bytes(narrow, raw)
+                nc_old = cand
+                break
+            except Exception:
+                continue
+        assert nc_old is not None, f"cannot infer width of {widen_from}"
+        params = widen_params(params, narrow, nc_old, nb)
+        print(f"student widened {nc_old}->{nc} from {widen_from} "
+              "(function-preserving)")
+    elif init_path and os.path.exists(init_path):
         with open(init_path, "rb") as f:
             params = serialization.from_bytes(params, f.read())
         print(f"student initialized from {init_path}")
 
-    n = cache["noisy"].shape[0]
-    data = {k: jnp.asarray(v) for k, v in cache.items()}
+    # reserve a heldout tail for best-iterate selection (finding 18:
+    # select on a validation objective, never a train-loss EMA)
+    n = cache["noisy"].shape[0] - heldout_n
+    data = {k: jnp.asarray(v[:n]) for k, v in cache.items()}
+    held = {k: jnp.asarray(v[n:]) for k, v in cache.items()}
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
     tx = optax.adam(sched)
     opt_state = tx.init(params)
+
+    @jax.jit
+    def held_mse(p):
+        den = model.apply(p, held["noisy"], held["sigma"])
+        return ((1 - w_gt) * jnp.mean((den - held["teacher"]) ** 2)
+                + w_gt * jnp.mean((den - held["clean"]) ** 2))
 
     def one_step(data, carry, key):
         params, opt_state = carry
@@ -133,13 +194,29 @@ def train_student(cache, nc, nb, steps, batch, lr, w_gt, seed, init_path,
         return params, opt_state, jnp.mean(losses)
 
     key = jax.random.key(seed + 1)
+    best = (float(held_mse(params)), jax.device_get(params))
+    print(f"init heldout loss {best[0]:.6f}", flush=True)
     for i in range(steps // chunk):
         key, sub = jax.random.split(key)
         params, opt_state, loss = run_chunk(params, opt_state, sub, data)
-        if i % 10 == 0:
+        if i % 5 == 4 or i == steps // chunk - 1:
+            hm = float(held_mse(params))
+            if hm < best[0]:
+                best = (hm, jax.device_get(params))
+                if ckpt_path:  # periodic atomic checkpoint of the best
+                    tmp = ckpt_path + ".tmp"
+                    with open(tmp, "wb") as f:
+                        f.write(serialization.to_bytes(best[1]))
+                    os.replace(tmp, ckpt_path)
+            if i % 10 == 9 or i == steps // chunk - 1:
+                print(f"step {(i + 1) * chunk}/{steps} "
+                      f"loss {float(loss):.6f} held {hm:.6f} "
+                      f"best {best[0]:.6f}", flush=True)
+        elif i % 10 == 0:
             print(f"step {(i + 1) * chunk}/{steps} loss {float(loss):.6f}",
                   flush=True)
-    return model, params
+    print(f"best heldout loss {best[0]:.6f}")
+    return model, best[1]
 
 
 def main():
@@ -158,6 +235,9 @@ def main():
     ap.add_argument("--channels", type=int, default=3, choices=(1, 3))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--widen-from", type=str, default=None,
+                    help="trained narrower student to net2net-widen into "
+                         "--nc (function-preserving init)")
     args = ap.parse_args()
 
     if args.channels == 1 and args.nc == 96:
@@ -172,9 +252,15 @@ def main():
                  else "res_ffdnet_color.msgpack")
     init_path = os.path.join(os.path.dirname(__file__), "..", "weights",
                              init_name)
+    out_name = ("distilled_ffdnet_gray.msgpack" if args.channels == 1
+                else "distilled_ffdnet_color.msgpack")
+    out_path = args.out or os.path.join(os.path.dirname(__file__), "..",
+                                        "weights", out_name)
     model, params = train_student(cache, args.nc, args.nb, args.steps,
                                   args.batch, args.lr, args.w_gt, args.seed,
-                                  init_path, channels=args.channels)
+                                  init_path, channels=args.channels,
+                                  widen_from=args.widen_from,
+                                  ckpt_path=out_path + ".ckpt")
 
     # raw-denoiser sanity at sigma=0.1 vs the teacher on fresh data
     rng = np.random.RandomState(12345)
@@ -192,10 +278,6 @@ def main():
           f"teacher->clean {psnr(t, clean):.2f} dB, "
           f"student->teacher {psnr(den, t):.2f} dB")
 
-    out_name = ("distilled_ffdnet_gray.msgpack" if args.channels == 1
-                else "distilled_ffdnet_color.msgpack")
-    out_path = args.out or os.path.join(os.path.dirname(__file__), "..",
-                                        "weights", out_name)
     with open(out_path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(params)))
     print(f"saved {out_path} ({os.path.getsize(out_path) // 1024} KB)")

@@ -171,7 +171,8 @@ class AutoTuneSolver:
 
     def train(self, dataset, valid_datasets=None, placeholders=None, epochs: int = 1,
               lr: float = 3e-4, log_every: int = 10, loop_penalty: float = 0.05,
-              savedir: Optional[str] = None, loss_kind: str = "mse"):
+              savedir: Optional[str] = None, loss_kind: str = "mse",
+              eval_fn=None, eval_every: int = 0):
         """Direct-backprop policy optimization over solve episodes.
 
         ``dataset`` yields dicts with 'x0', 'gt' (+ any placeholder
@@ -185,6 +186,14 @@ class AutoTuneSolver:
         reconstruction is easiest (measured on deconv: -9 dB on the
         easiest held-out cells). log-MSE equalizes the per-problem
         weighting (it optimizes mean PSNR up to a constant).
+
+        ``eval_fn``/``eval_every``: optional held-out best-iterate
+        selection — every ``eval_every`` steps ``eval_fn(params)`` is
+        scored (higher is better) and the best-scoring params are
+        returned instead of the last ones. Training length for
+        bi-level/unrolled objectives is NOT monotone in quality
+        (weights/README findings 18 and 20c), so selection must be on
+        a validation objective, never the final step or a train EMA.
         """
         tx = optax.adam(lr)
         params = self.policy_params
@@ -215,12 +224,26 @@ class AutoTuneSolver:
             return params, opt_state, loss
 
         step = 0
+        best = None  # (score, host params) under eval_fn selection
         for epoch in range(epochs):
             for batch in dataset:
                 params, opt_state, loss = update(params, opt_state, batch)
                 step += 1
                 if log_every and step % log_every == 0:
                     print(f"[autotune] epoch {epoch} step {step} loss {float(loss):.5f}")
+                if eval_fn is not None and eval_every and \
+                        step % eval_every == 0:
+                    score = float(eval_fn(params))
+                    if best is None or score > best[0]:
+                        best = (score, jax.device_get(params))
+                    print(f"[autotune] step {step} heldout {score:+.3f} "
+                          f"best {best[0]:+.3f}", flush=True)
+        if eval_fn is not None and eval_every:
+            score = float(eval_fn(params))
+            if best is None or score > best[0]:
+                best = (score, jax.device_get(params))
+            params = best[1]
+            print(f"[autotune] selected heldout {best[0]:+.3f}", flush=True)
         self.policy_params = params
         if savedir:
             from .training import save_checkpoint

@@ -169,6 +169,9 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--n-train", type=int, default=48)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--eval-every", type=int, default=200,
+                    help="heldout best-iterate selection cadence "
+                         "(0 disables)")
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--out", type=str, default=None,
                     help="weights output (defaults to a scratch path; "
@@ -201,9 +204,19 @@ def main():
 
     print(f"[{args.task}] training: {len(dataset)} steps over "
           f"{len(train)} problems", flush=True)
+
+    # held-out best-iterate selection (findings 18/20c: training length
+    # is not monotone — select on validation, not the last step). The
+    # hand-schedule baselines are fixed, so selecting on mean tuned
+    # PSNR is selecting on mean gain.
+    def mean_tuned(params):
+        return float(np.mean([tuned_psnr(tuner, s, params)
+                              for s in heldout]))
+
     t0 = time.time()
     params = tuner.train(dataset, epochs=1, lr=args.lr, log_every=20,
-                         loss_kind="logmse")
+                         loss_kind="logmse", eval_fn=mean_tuned,
+                         eval_every=args.eval_every)
     print(f"trained in {time.time() - t0:.0f} s", flush=True)
 
     gain = evaluate(args.task, tuner, heldout, params, tag="heldout")

@@ -56,8 +56,10 @@ def make_cache(teacher, corpus, n, size, batch, sigma_lo, sigma_hi, seed):
     n_img = corpus.shape[0]
     corpus_d = jnp.asarray(corpus)
 
+    # corpus_d enters as an ARGUMENT (axon closure-constant hazard —
+    # see the held_mse note in train_student)
     @jax.jit
-    def gen(key):
+    def gen(key, corpus_d):
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         idx = jax.random.randint(k1, (batch,), 0, n_img)
         clean = corpus_d[idx]
@@ -79,7 +81,7 @@ def make_cache(teacher, corpus, n, size, batch, sigma_lo, sigma_hi, seed):
     t0 = time.time()
     for i in range(n // batch):
         key, sub = jax.random.split(key)
-        noisy, sigma, t, clean = gen(sub)
+        noisy, sigma, t, clean = gen(sub, corpus_d)
         outs["noisy"].append(np.asarray(noisy, np.float32))
         outs["sigma"].append(np.asarray(sigma, np.float32))
         outs["teacher"].append(np.asarray(t, np.float32))
@@ -162,11 +164,19 @@ def train_student(cache, nc, nb, steps, batch, lr, w_gt, seed, init_path,
     tx = optax.adam(sched)
     opt_state = tx.init(params)
 
+    # `held` MUST be passed as an argument, never closed over: on the
+    # axon backend a multi-MB DEVICE-array closure constant inside a
+    # large program is lowered CORRUPTED (deterministically wrong
+    # results ~= cross-image MSE; the arrays round-trip intact, small
+    # programs are fine, and the same arrays as jit ARGUMENTS are
+    # exact — benchmarks/closure_constant_probe.py is the minimal
+    # repro). This silently broke best-iterate selection on the first
+    # width-128 distill run.
     @jax.jit
-    def held_mse(p):
-        den = model.apply(p, held["noisy"], held["sigma"])
-        return ((1 - w_gt) * jnp.mean((den - held["teacher"]) ** 2)
-                + w_gt * jnp.mean((den - held["clean"]) ** 2))
+    def held_mse(p, h):
+        den = model.apply(p, h["noisy"], h["sigma"])
+        return ((1 - w_gt) * jnp.mean((den - h["teacher"]) ** 2)
+                + w_gt * jnp.mean((den - h["clean"]) ** 2))
 
     def one_step(data, carry, key):
         params, opt_state = carry
@@ -194,13 +204,13 @@ def train_student(cache, nc, nb, steps, batch, lr, w_gt, seed, init_path,
         return params, opt_state, jnp.mean(losses)
 
     key = jax.random.key(seed + 1)
-    best = (float(held_mse(params)), jax.device_get(params))
+    best = (float(held_mse(params, held)), jax.device_get(params))
     print(f"init heldout loss {best[0]:.6f}", flush=True)
     for i in range(steps // chunk):
         key, sub = jax.random.split(key)
         params, opt_state, loss = run_chunk(params, opt_state, sub, data)
         if i % 5 == 4 or i == steps // chunk - 1:
-            hm = float(held_mse(params))
+            hm = float(held_mse(params, held))
             if hm < best[0]:
                 best = (hm, jax.device_get(params))
                 if ckpt_path:  # periodic atomic checkpoint of the best
